@@ -1,0 +1,138 @@
+"""Tests for schema, synthetic fixtures, padding, and stage assembly."""
+
+import numpy as np
+import pytest
+
+from brepgen_tpu.data import pad_repeat, pad_zero, validate_brep
+from brepgen_tpu.data.assembly import (
+    assemble_edgepos,
+    assemble_edgez,
+    assemble_surf_uv,
+    assemble_surfpos,
+    assemble_surfz,
+    filter_sample,
+)
+from brepgen_tpu.data.loader import Batcher
+from brepgen_tpu.data.synthetic import make_cuboid, make_cylinder, make_dataset, make_prism
+
+
+@pytest.fixture(scope="module")
+def cuboid():
+    return make_cuboid(1.0, 2.0, 0.5)
+
+
+def test_synthetic_solids_are_schema_valid():
+    for s in (make_cuboid(), make_prism(5), make_cylinder()):
+        validate_brep(s)  # raises on violation
+
+
+def test_cuboid_topology(cuboid):
+    assert len(cuboid["surf_wcs"]) == 6
+    assert len(cuboid["edge_wcs"]) == 12
+    assert len(cuboid["corner_unique"]) == 8
+    # every edge borders exactly two faces; mating duplication doubles edges
+    total_face_edges = sum(len(a) for a in cuboid["faceEdge_adj"])
+    assert total_face_edges == 2 * 12
+
+
+def test_cylinder_split_faces():
+    c = make_cylinder()
+    assert len(c["surf_wcs"]) == 4  # two half-sides + two caps
+    assert len(c["edge_wcs"]) == 6
+    assert len(c["corner_unique"]) == 4
+
+
+def test_normalization_invariants(cuboid):
+    # solid spans the [-1,1] cube in the largest axis
+    assert np.isclose(np.abs(cuboid["surf_wcs"]).max(), 1.0, atol=1e-6)
+    # each face's ncs grid spans its own unit cube
+    for grid in cuboid["surf_ncs"]:
+        assert np.isclose(np.abs(grid).max(), 1.0, atol=1e-5)
+
+
+def test_pad_repeat_and_zero():
+    x = np.arange(10).reshape(5, 2).astype(float)
+    r = pad_repeat(x, 12)
+    assert r.shape == (12, 2)
+    # every original row appears at least twice
+    for row in x:
+        assert (r == row).all(1).sum() >= 2
+    z, mask = pad_zero(x, 8, return_mask=True)
+    assert z.shape == (8, 2) and mask.tolist() == [False] * 5 + [True] * 3
+    assert (z[5:] == 0).all()
+
+
+def test_filter_sample(cuboid):
+    assert filter_sample(cuboid, max_face=30, max_edge=20, bbox_scaled=3, threshold=0.05)
+    assert not filter_sample(cuboid, max_face=5, max_edge=20, bbox_scaled=3, threshold=0.05)
+    assert not filter_sample(cuboid, max_face=30, max_edge=3, bbox_scaled=3, threshold=0.05)
+    # huge threshold -> everything looks duplicated -> rejected
+    assert not filter_sample(cuboid, max_face=30, max_edge=20, bbox_scaled=3, threshold=10.0)
+
+
+def test_assemble_shapes(cuboid):
+    rng = np.random.default_rng(0)
+    sp = assemble_surfpos(cuboid, rng, max_face=10)
+    assert sp.shape == (10, 6)
+
+    pos, ncs, mask = assemble_surfz(cuboid, rng, max_face=10)
+    assert pos.shape == (10, 6) and ncs.shape == (10, 32, 32, 3)
+    assert mask.sum() == 4  # 6 valid faces of 10
+
+    epos, sncs, spos, smask = assemble_edgepos(cuboid, rng, max_face=10, max_edge=8)
+    assert epos.shape == (10, 8, 6) and smask.sum() == 4
+
+    encs, epos2, emask, sncs2, spos2, vpos = assemble_edgez(
+        cuboid, rng, max_face=10, max_edge=8
+    )
+    assert encs.shape == (10, 8, 32, 3)
+    assert emask.shape == (10, 8) and vpos.shape == (10, 8, 6)
+    # each cuboid face has 4 edges -> 4 valid slots in each of 6 face rows
+    assert (~emask).sum() == 6 * 4
+    # padded face rows fully masked
+    assert emask[6:].all()
+
+
+def test_assemble_scaling(cuboid):
+    rng = np.random.default_rng(0)
+    pos, _, mask = assemble_surfz(cuboid, rng, max_face=10, bbox_scaled=3.0)
+    valid = pos[~mask]
+    assert np.abs(valid).max() <= 3.0 + 1e-5
+    assert np.abs(valid).max() > 1.5  # actually scaled up
+
+
+def test_vertex_pairs_lexsorted(cuboid):
+    rng = np.random.default_rng(1)
+    *_, vpos = assemble_edgez(cuboid, rng, max_face=10, max_edge=8)
+    valid = vpos[0][:4].reshape(-1, 2, 3)
+    for pair in valid:
+        a, b = pair
+        assert tuple(a) <= tuple(b)  # lexicographic order (x, then y, then z)
+
+
+def test_assembly_deterministic(cuboid):
+    a = assemble_edgez(cuboid, np.random.default_rng(42), max_face=10, max_edge=8)
+    b = assemble_edgez(cuboid, np.random.default_rng(42), max_face=10, max_edge=8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_batcher(cuboid):
+    samples = make_dataset(10, seed=1)
+    batcher = Batcher(
+        samples,
+        lambda d, rng: assemble_surfz(d, rng, max_face=12),
+        batch_size=4,
+        seed=0,
+    )
+    batches = list(batcher)
+    assert len(batches) == 2
+    pos, ncs, mask = batches[0]
+    assert pos.shape == (4, 12, 6) and mask.shape == (4, 12)
+
+
+def test_surf_uv_aug_stays_normalized(cuboid):
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        uv = assemble_surf_uv(cuboid, rng, aug=True)
+        assert np.abs(uv).max() <= 1.0 + 1e-4
