@@ -1,0 +1,152 @@
+"""Training-step tests: losses decrease, masking is honored, state updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brepgen_tpu.data.assembly import assemble_edgez, assemble_surfpos, assemble_surfz
+from brepgen_tpu.data.synthetic import make_dataset
+from brepgen_tpu.diffusion import make_ddpm_tables
+from brepgen_tpu.nn import EdgeVAE, SurfVAE, make_edgez_net, make_surfpos_net, make_surfz_net
+from brepgen_tpu.train import ldm_train, vae_train
+from brepgen_tpu.train.common import (
+    init_state,
+    make_ldm_optimizer,
+    make_vae_optimizer,
+    masked_mse,
+)
+
+KEY = jax.random.PRNGKey(0)
+SMALL = dict(width=32, num_heads=2, ffn_width=64, num_layers=1)
+
+
+def test_masked_mse():
+    pred = jnp.ones((2, 3, 4))
+    target = jnp.zeros((2, 3, 4))
+    mask = jnp.zeros((2, 3), bool).at[:, 2].set(True)
+    # error 1 on every unmasked element
+    assert float(masked_mse(pred, target, mask)) == 1.0
+    # masked positions don't contribute
+    pred = pred.at[:, 2].set(100.0)
+    assert float(masked_mse(pred, target, mask)) == 1.0
+
+
+def test_surf_vae_loss_decreases():
+    vae = SurfVAE(block_out_channels=(8, 8, 8, 8))
+    x = jax.random.normal(KEY, (4, 32, 32, 3)) * 0.5
+    params = vae.init(KEY, x)
+    opt = make_vae_optimizer(lr=1e-3)
+    state = init_state(params, opt)
+    step = vae_train.make_train_step(vae, opt)
+    losses = []
+    for i in range(8):
+        state, m = step(state, x, jax.random.PRNGKey(i))
+        losses.append(float(m["mse"]))
+    assert losses[-1] < losses[0]
+
+
+def test_surfpos_step_trains():
+    ds = make_dataset(8, seed=0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "surfpos": jnp.asarray(
+            np.stack([assemble_surfpos(d, rng, max_face=12) for d in ds])
+        )
+    }
+    model = make_surfpos_net(**SMALL)
+    params = model.init(KEY, (batch["surfpos"],), jnp.zeros((8,), jnp.int32))
+    opt = make_ldm_optimizer(lr=1e-3)
+    state = init_state(params, opt)
+    tables = make_ddpm_tables()
+    step = ldm_train.make_surfpos_step(model, opt, tables)
+    losses = []
+    for i in range(10):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[5:]) < max(losses[:2])
+    assert int(state.step) == 10
+
+
+def _tiny_vaes():
+    surf_vae = SurfVAE(block_out_channels=(4, 4, 4, 4))
+    edge_vae = EdgeVAE(block_out_channels=(4, 4, 4))
+    sp = surf_vae.init(KEY, jnp.zeros((1, 32, 32, 3)))
+    ep = edge_vae.init(KEY, jnp.zeros((1, 32, 3)))
+    return surf_vae, sp, edge_vae, ep
+
+
+def test_edgez_step_smoke():
+    ds = make_dataset(2, seed=1)
+    rng = np.random.default_rng(0)
+    items = [assemble_edgez(d, rng, max_face=8, max_edge=6) for d in ds]
+    batch = {
+        "edgepnt": jnp.asarray(np.stack([i[0] for i in items])),
+        "edgepos": jnp.asarray(np.stack([i[1] for i in items])),
+        "edge_mask": jnp.asarray(np.stack([i[2] for i in items])),
+        "surfpnt": jnp.asarray(np.stack([i[3] for i in items])),
+        "surfpos": jnp.asarray(np.stack([i[4] for i in items])),
+        "vertpos": jnp.asarray(np.stack([i[5] for i in items])),
+    }
+    surf_vae, sp, edge_vae, ep = _tiny_vaes()
+    surf_enc = vae_train.make_encoder_fn(surf_vae)
+    edge_enc = vae_train.make_encoder_fn(edge_vae)
+
+    model = make_edgez_net(**SMALL)
+    B, nf, ne = 2, 8, 6
+    streams = (
+        jnp.zeros((B, nf * ne, 12)),
+        jnp.zeros((B, nf * ne, 6)),
+        jnp.zeros((B, nf * ne, 6)),
+        jnp.zeros((B, nf * ne, 6)),
+        jnp.zeros((B, nf * ne, 48)),
+    )
+    params = model.init(KEY, streams, jnp.zeros((B,), jnp.int32))
+    opt = make_ldm_optimizer()
+    state = init_state(params, opt)
+    tables = make_ddpm_tables()
+    step = ldm_train.make_edgez_step(
+        model, opt, tables, surf_enc, sp, edge_enc, ep
+    )
+    state, m = step(state, batch, KEY)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss_z"])) and np.isfinite(float(m["loss_v"]))
+
+
+def test_surfz_val_step():
+    ds = make_dataset(2, seed=2)
+    rng = np.random.default_rng(0)
+    items = [assemble_surfz(d, rng, max_face=8) for d in ds]
+    batch = {
+        "surfpos": jnp.asarray(np.stack([i[0] for i in items])),
+        "surfpnt": jnp.asarray(np.stack([i[1] for i in items])),
+        "surf_mask": jnp.asarray(np.stack([i[2] for i in items])),
+    }
+    surf_vae, sp, _, _ = _tiny_vaes()
+    surf_enc = vae_train.make_encoder_fn(surf_vae)
+    model = make_surfz_net(**SMALL)
+    params = model.init(
+        KEY, (jnp.zeros((2, 8, 48)), batch["surfpos"]), jnp.zeros((2,), jnp.int32)
+    )
+    tables = make_ddpm_tables()
+    val = ldm_train.make_val_step("surfz", model, tables, surf_enc, sp)
+    total, count = val(params, batch, KEY, 50)
+    assert np.isfinite(float(total)) and float(count) == 2.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from brepgen_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model = make_surfpos_net(**SMALL)
+    x = jnp.zeros((1, 4, 6))
+    params = model.init(KEY, (x,), jnp.zeros((1,), jnp.int32))
+    opt = make_ldm_optimizer()
+    state = init_state(params, opt)
+    path = save_checkpoint(str(tmp_path), state, "latest")
+    restored = load_checkpoint(path, state)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params,
+        restored.params,
+    )
+    assert int(restored.step) == 0
