@@ -1,0 +1,252 @@
+"""The four-stage generation cascade as one jitted device program.
+
+Mirrors ``sample.py:120-299`` stage by stage:
+
+  1-1  surfPos:  [B, ns, 6]   ~ N(0,1); 158 PNDM calls (of a 200-step
+       schedule) then 250 DDPM steps with x0-clip +/-3; CFG w=0.6 by
+       batch doubling when class-conditional. For unconditional modes the
+       face set is doubled between the phases ("late increase",
+       ``sample.py:140-142``) -- here a static concat, shapes stay fixed.
+  1-2  face dedup -> keep mask (on device, see ``dedup.py``).
+  1-3  surfZ:    [B, ns, 48]; full 200-step PNDM schedule, face-masked.
+  2-1  edgePos:  [B, ns, ne, 6]; 158 PNDM + 250 DDPM, face-masked.
+  2-2  per-face edge dedup -> edge keep mask.
+  2-3  edgeZV:   [B, ns, ne, 18]; full PNDM; masked slots zeroed.
+  VAE decode of all face/edge latents; bboxes un-scaled by /3.
+
+Everything through VAE decode is a single jit-compiled function per
+(batch, ns, ne) configuration: the denoise loops are lax.scans over static
+plans, dedup is a masked scan, and the only host transfer is the final
+pytree fetch for post-processing. Per-chip throughput then scales by
+sharding the batch over the mesh 'data' axis (sampling is embarrassingly
+parallel across CAD solids).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from brepgen_tpu.diffusion import (
+    ddpm_scan,
+    make_ddpm_plan,
+    make_pndm_plan,
+    pndm_scan,
+)
+from brepgen_tpu.nn.denoiser import broadcast_face_to_edge, flatten_face_edge
+from brepgen_tpu.sampling.dedup import dedup_bboxes, dedup_edges_per_face
+
+TEXT2INT = {
+    "uncond": 0, "bathtub": 1, "bed": 2, "bench": 3, "bookshelf": 4,
+    "cabinet": 5, "chair": 6, "couch": 7, "lamp": 8, "sofa": 9, "table": 10,
+}
+
+# eval_config.yaml parity (reference eval_config.yaml:1-47)
+MODE_PRESETS = {
+    "abc": dict(num_surfaces=50, num_edges=40, use_cf=False),
+    "deepcad": dict(num_surfaces=30, num_edges=30, use_cf=False),
+    "furniture": dict(num_surfaces=60, num_edges=40, use_cf=True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    batch_size: int = 16
+    num_surfaces: int = 30
+    num_edges: int = 30
+    use_cf: bool = False
+    class_label: int = 0
+    cfg_weight: float = 0.6
+    z_threshold: float = 0.2
+    bbox_threshold: float = 0.08
+    bbox_scaled: float = 3.0
+    pndm_steps: int = 200
+    pos_pndm_calls: int = 158
+    ddpm_tail: int = 250
+    ddpm_clip: float = 3.0
+
+    @classmethod
+    def for_mode(cls, mode: str, batch_size: int = 16, class_label: str = "uncond"):
+        p = MODE_PRESETS[mode]
+        return cls(
+            batch_size=batch_size,
+            num_surfaces=p["num_surfaces"],
+            num_edges=p["num_edges"],
+            use_cf=p["use_cf"],
+            class_label=TEXT2INT.get(class_label, 0) if p["use_cf"] else 0,
+        )
+
+
+def _cfg_eps(apply_fn, cfg: CascadeConfig):
+    """Wrap a conditional eps fn with classifier-free guidance by batch
+    doubling: pred = cond*(1+w) - uncond*w (``sample.py:132-134``)."""
+
+    def eps(x, t, *cond_streams):
+        B = x.shape[0]
+        if not cfg.use_cf:
+            return apply_fn(x, t, None, *cond_streams)
+        labels = jnp.concatenate(
+            [jnp.full((B, 1), cfg.class_label, jnp.int32), jnp.zeros((B, 1), jnp.int32)]
+        )
+        x2 = jnp.concatenate([x, x], axis=0)
+        cond2 = [jnp.concatenate([c, c], axis=0) for c in cond_streams]
+        pred = apply_fn(x2, t, labels, *cond2)
+        w = cfg.cfg_weight
+        return pred[:B] * (1 + w) - pred[B:] * w
+
+    return eps
+
+
+def build_cascade(
+    nets: Dict[str, Any],       # 'surfpos', 'surfz', 'edgepos', 'edgez' modules
+    net_params: Dict[str, Any],
+    surf_decode: Callable,      # (params, z[N,4,4,3]) -> [N,32,32,3]
+    surf_vae_params: Any,
+    edge_decode: Callable,      # (params, z[N,4,3]) -> [N,32,3]
+    edge_vae_params: Any,
+    config: CascadeConfig,
+) -> Callable:
+    """Returns jitted fn(key) -> dict of device arrays for postprocessing."""
+    cfg = config
+    B = cfg.batch_size
+    ns0 = cfg.num_surfaces
+    # late increase doubles the face set for unconditional modes
+    ns = ns0 if cfg.use_cf else 2 * ns0
+    ne = cfg.num_edges
+
+    pndm_pos_plan = make_pndm_plan(cfg.pndm_steps, max_calls=cfg.pos_pndm_calls)
+    pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
+    ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
+
+    def surfpos_apply(x, t, labels):
+        return nets["surfpos"].apply(net_params["surfpos"], (x,), t, None, labels)
+
+    def surfz_apply(x, t, labels, surfpos, mask):
+        return nets["surfz"].apply(net_params["surfz"], (x, surfpos), t, mask, labels)
+
+    def edgepos_apply(x, t, labels, surfpos, surfz, mask):
+        b, nf, k, _ = x.shape
+        pred = nets["edgepos"].apply(
+            net_params["edgepos"],
+            (
+                flatten_face_edge(x),
+                broadcast_face_to_edge(surfpos, k),
+                broadcast_face_to_edge(surfz, k),
+            ),
+            t,
+            jnp.repeat(mask, k, axis=1),
+            labels,
+        )
+        return pred.reshape(b, nf, k, 6)
+
+    def edgez_apply(x, t, labels, edgepos, surfpos, surfz, mask):
+        b, nf, k, _ = x.shape
+        pred = nets["edgez"].apply(
+            net_params["edgez"],
+            (
+                flatten_face_edge(x[..., :12]),
+                flatten_face_edge(x[..., 12:]),
+                flatten_face_edge(edgepos),
+                broadcast_face_to_edge(surfpos, k),
+                broadcast_face_to_edge(surfz, k),
+            ),
+            t,
+            mask.reshape(b, nf * k),
+            labels,
+        )
+        return pred.reshape(b, nf, k, 18)
+
+    def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
+        keys = jax.random.split(key, 8)
+
+        # ---- STEP 1-1: surface positions -------------------------------
+        surfpos = jax.random.normal(keys[0], (B, ns0, 6))
+        eps1 = _cfg_eps(lambda x, t, lbl: surfpos_apply(x, t, lbl), cfg)
+        surfpos = pndm_scan(lambda x, t: eps1(x, t), surfpos, pndm_pos_plan)
+        if not cfg.use_cf:
+            surfpos = jnp.concatenate([surfpos, surfpos], axis=1)  # late increase
+        surfpos = ddpm_scan(
+            lambda x, t: eps1(x, t), surfpos, ddpm_plan, keys[1], cfg.ddpm_clip
+        )
+
+        # ---- STEP 1-2: dedup faces -> mask -----------------------------
+        surf_keep = dedup_bboxes(surfpos, cfg.bbox_threshold)   # True = keep
+        surf_mask = ~surf_keep                                   # True = pad
+        surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
+
+        # ---- STEP 1-3: surface latents ---------------------------------
+        surfz = jax.random.normal(keys[2], (B, ns, 48))
+        eps2 = _cfg_eps(
+            lambda x, t, lbl, sp, m: surfz_apply(x, t, lbl, sp, m), cfg
+        )
+
+        def surfz_eps(x, t):
+            if cfg.use_cf:
+                # masks double with the batch inside _cfg_eps via cond streams
+                return eps2(x, t, surfpos, surf_mask)
+            return surfz_apply(x, t, None, surfpos, surf_mask)
+
+        surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
+
+        # ---- STEP 2-1: edge positions ----------------------------------
+        edgepos = jax.random.normal(keys[3], (B, ns, ne, 6))
+
+        def edgepos_eps(x, t):
+            if cfg.use_cf:
+                e = _cfg_eps(
+                    lambda xx, tt, lbl, sp, sz, m: edgepos_apply(xx, tt, lbl, sp, sz, m),
+                    cfg,
+                )
+                return e(x, t, surfpos, surfz, surf_mask)
+            return edgepos_apply(x, t, None, surfpos, surfz, surf_mask)
+
+        edgepos = pndm_scan(edgepos_eps, edgepos, pndm_pos_plan)
+        edgepos = ddpm_scan(edgepos_eps, edgepos, ddpm_plan, keys[4], cfg.ddpm_clip)
+
+        # ---- STEP 2-2: dedup edges per face -> mask --------------------
+        edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
+        edge_mask = ~edge_keep
+
+        # ---- STEP 2-3: edge latents + endpoints ------------------------
+        edgezv = jax.random.normal(keys[5], (B, ns, ne, 18))
+
+        def edgez_eps(x, t):
+            if cfg.use_cf:
+                e = _cfg_eps(
+                    lambda xx, tt, lbl, ep, sp, sz, m: edgez_apply(xx, tt, lbl, ep, sp, sz, m),
+                    cfg,
+                )
+                return e(x, t, edgepos, surfpos, surfz, edge_mask)
+            return edgez_apply(x, t, None, edgepos, surfpos, surfz, edge_mask)
+
+        edgezv = pndm_scan(edgez_eps, edgezv, pndm_full_plan)
+        edgezv = jnp.where(edge_mask[..., None], 0.0, edgezv)
+
+        edge_z = edgezv[..., :12]
+        edge_v = edgezv[..., 12:]
+
+        # ---- VAE decode ------------------------------------------------
+        surf_ncs = surf_decode(
+            surf_vae_params, surfz.reshape(B * ns, 4, 4, 3)
+        ).reshape(B, ns, 32, 32, 3)
+        edge_ncs = edge_decode(
+            edge_vae_params, edge_z.reshape(B * ns * ne, 4, 3)
+        ).reshape(B, ns, ne, 32, 3)
+
+        return {
+            "surf_pos": surfpos / cfg.bbox_scaled,
+            "surf_mask": surf_mask,
+            "surf_z": surfz,
+            "surf_ncs": surf_ncs,
+            "edge_pos": edgepos / cfg.bbox_scaled,
+            "edge_mask": edge_mask,
+            "edge_z": edge_z,
+            "edge_v": edge_v,
+            "edge_ncs": edge_ncs,
+        }
+
+    return jax.jit(cascade)

@@ -1,0 +1,156 @@
+"""Tests: dedup matches the reference's greedy host loop; cascade runs end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brepgen_tpu.nn import (
+    EdgeVAE,
+    SurfVAE,
+    make_edgepos_net,
+    make_edgez_net,
+    make_surfpos_net,
+    make_surfz_net,
+)
+from brepgen_tpu.sampling import CascadeConfig, build_cascade, dedup_bboxes, dedup_edges_per_face
+from brepgen_tpu.train.vae_train import make_decoder_fn
+
+KEY = jax.random.PRNGKey(0)
+SMALL = dict(width=32, num_heads=2, ffn_width=64, num_layers=1)
+
+
+def reference_greedy_dedup(bboxes: np.ndarray, threshold: float) -> np.ndarray:
+    """Transliteration of the host-side loop at sample.py:159-173 returning
+    a keep mask over original slots (True = kept as first occurrence)."""
+    boxes = np.round(bboxes, 4).reshape(len(bboxes), 2, 3)
+    non_repeat = boxes[:1]
+    kept_idx = [0]
+    for i, bbox in enumerate(boxes):
+        diff = np.max(np.max(np.abs(non_repeat - bbox), -1), -1)
+        diff_rev = np.max(np.max(np.abs(non_repeat - bbox[::-1]), -1), -1)
+        if (diff < threshold).sum() >= 1 or (diff_rev < threshold).sum() >= 1:
+            continue
+        non_repeat = np.concatenate([non_repeat, bbox[None]], 0)
+        kept_idx.append(i)
+    keep = np.zeros(len(boxes), bool)
+    keep[kept_idx] = True
+    return keep
+
+
+def test_dedup_matches_reference_semantics():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = 12
+        base = rng.normal(size=(4, 6))
+        # build a set with deliberate near-duplicates and reversed duplicates
+        rows = [base[rng.integers(4)] + rng.normal(scale=0.01, size=6) for _ in range(n)]
+        boxes = np.stack(rows)
+        if trial % 2:
+            boxes[3] = boxes[1].reshape(2, 3)[::-1].reshape(6)  # reversed dup
+        want = reference_greedy_dedup(boxes, 0.08)
+        got = np.asarray(dedup_bboxes(jnp.asarray(boxes)[None], 0.08))[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_dedup_slot0_always_kept():
+    boxes = jnp.zeros((2, 5, 6))  # all identical
+    keep = np.asarray(dedup_bboxes(boxes, 0.08))
+    assert keep[:, 0].all() and not keep[:, 1:].any()
+
+
+def test_edge_dedup_respects_face_mask():
+    rng = np.random.default_rng(1)
+    edge_boxes = jnp.asarray(rng.normal(size=(1, 3, 4, 6)))
+    surf_keep = jnp.asarray([[True, False, True]])
+    keep = np.asarray(dedup_edges_per_face(edge_boxes, surf_keep, 0.08))
+    assert not keep[0, 1].any()  # dropped face -> all edges masked
+    assert keep[0, 0, 0] and keep[0, 2, 0]  # first edge of valid faces kept
+
+
+def _build_tiny_cascade(use_cf=False):
+    nets = {
+        "surfpos": make_surfpos_net(use_cf=use_cf, **SMALL),
+        "surfz": make_surfz_net(use_cf=use_cf, **SMALL),
+        "edgepos": make_edgepos_net(use_cf=use_cf, **SMALL),
+        "edgez": make_edgez_net(use_cf=use_cf, **SMALL),
+    }
+    cfg = CascadeConfig(
+        batch_size=2,
+        num_surfaces=4,
+        num_edges=3,
+        use_cf=use_cf,
+        class_label=6,
+        pndm_steps=10,
+        pos_pndm_calls=8,
+        ddpm_tail=5,
+    )
+    B, ns0, ne = cfg.batch_size, cfg.num_surfaces, cfg.num_edges
+    label = jnp.zeros((B, 1), jnp.int32) if use_cf else None
+    params = {
+        "surfpos": nets["surfpos"].init(
+            KEY, (jnp.zeros((B, ns0, 6)),), jnp.zeros((B,), jnp.int32), None, label
+        ),
+        "surfz": nets["surfz"].init(
+            KEY,
+            (jnp.zeros((B, ns0, 48)), jnp.zeros((B, ns0, 6))),
+            jnp.zeros((B,), jnp.int32),
+            None,
+            label,
+        ),
+        "edgepos": nets["edgepos"].init(
+            KEY,
+            (jnp.zeros((B, ns0 * ne, 6)), jnp.zeros((B, ns0 * ne, 6)), jnp.zeros((B, ns0 * ne, 48))),
+            jnp.zeros((B,), jnp.int32),
+            None,
+            label,
+        ),
+        "edgez": nets["edgez"].init(
+            KEY,
+            (
+                jnp.zeros((B, ns0 * ne, 12)),
+                jnp.zeros((B, ns0 * ne, 6)),
+                jnp.zeros((B, ns0 * ne, 6)),
+                jnp.zeros((B, ns0 * ne, 6)),
+                jnp.zeros((B, ns0 * ne, 48)),
+            ),
+            jnp.zeros((B,), jnp.int32),
+            None,
+            label,
+        ),
+    }
+    surf_vae = SurfVAE(block_out_channels=(4, 4, 4, 4))
+    edge_vae = EdgeVAE(block_out_channels=(4, 4, 4))
+    sp = surf_vae.init(KEY, jnp.zeros((1, 32, 32, 3)))
+    ep = edge_vae.init(KEY, jnp.zeros((1, 32, 3)))
+    return build_cascade(
+        nets, params,
+        lambda p, z: surf_vae.apply(p, z, method=SurfVAE.decode), sp,
+        lambda p, z: edge_vae.apply(p, z, method=EdgeVAE.decode), ep,
+        cfg,
+    ), cfg
+
+
+def test_cascade_uncond_end_to_end():
+    cascade, cfg = _build_tiny_cascade(use_cf=False)
+    out = cascade(jax.random.PRNGKey(3))
+    B, ns, ne = cfg.batch_size, 2 * cfg.num_surfaces, cfg.num_edges  # late increase
+    assert out["surf_pos"].shape == (B, ns, 6)
+    assert out["surf_mask"].shape == (B, ns)
+    assert out["surf_ncs"].shape == (B, ns, 32, 32, 3)
+    assert out["edge_pos"].shape == (B, ns, ne, 6)
+    assert out["edge_ncs"].shape == (B, ns, ne, 32, 3)
+    assert np.isfinite(np.asarray(out["surf_pos"])).all()
+    assert np.isfinite(np.asarray(out["edge_ncs"])).all()
+    # masked edge latents zeroed
+    em = np.asarray(out["edge_mask"])
+    assert (np.asarray(out["edge_z"])[em] == 0).all()
+    # at least one face valid per sample
+    assert (~np.asarray(out["surf_mask"])).sum(1).min() >= 1
+
+
+def test_cascade_cfg_end_to_end():
+    cascade, cfg = _build_tiny_cascade(use_cf=True)
+    out = cascade(jax.random.PRNGKey(4))
+    B, ns, ne = cfg.batch_size, cfg.num_surfaces, cfg.num_edges  # no late increase
+    assert out["surf_pos"].shape == (B, ns, 6)
+    assert np.isfinite(np.asarray(out["edge_v"])).all()
