@@ -1,0 +1,86 @@
+"""Per-sample post-processing driver (STEP 3 of the reference sampler).
+
+Takes one CAD's slice of the cascade outputs and produces the optimized
+world-space geometry + recovered topology ready for B-rep assembly
+(reference ``sample.py:305-356``):
+
+  endpoints from bboxes -> detect_shared_vertex -> detect_shared_edge ->
+  re-decode unique faces/edges through the VAEs -> joint_optimize.
+
+Raises PostprocessError when topology recovery fails (caller counts and
+skips, like the reference's try/except-and-continue).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+import numpy as np
+
+from brepgen_tpu.data.augment import compute_bbox_center_and_size
+from brepgen_tpu.postprocess.edge_merge import detect_shared_edge
+from brepgen_tpu.postprocess.joint_opt import joint_optimize
+from brepgen_tpu.postprocess.vertex_merge import PostprocessError, detect_shared_vertex
+
+
+class RecoveredBrep(NamedTuple):
+    surf_wcs: np.ndarray           # [F, 32, 32, 3]
+    edge_wcs: np.ndarray           # [E, 32, 3]
+    face_edge_adj: list            # list[F] of edge id lists
+    edge_vertex_adj: np.ndarray    # [E, 2]
+    unique_vertices: np.ndarray    # [V, 3]
+
+
+def edge_endpoints_from_bbox(
+    edge_pos: np.ndarray, edge_ncs: np.ndarray, edge_mask: np.ndarray
+):
+    """Per-face endpoint pairs in world coords (``sample.py:317-329``)."""
+    out = []
+    for bbox_row, ncs_row, mask_row in zip(edge_pos, edge_ncs, edge_mask):
+        epos = bbox_row[~mask_row]
+        curves = ncs_row[~mask_row]
+        startends = []
+        for bb, ee in zip(epos, curves):
+            center, size = compute_bbox_center_and_size(bb[0:3], bb[3:])
+            wcs = ee * (size / 2) + center
+            startends.append(wcs[[0, -1]].reshape(1, 2, 3))
+        out.append(np.vstack(startends))
+    return out
+
+
+def postprocess_single(
+    sample: Dict[str, np.ndarray],
+    batch_idx: int,
+    surf_decode: Callable[[np.ndarray], np.ndarray],  # [N,48] -> [N,32,32,3]
+    edge_decode: Callable[[np.ndarray], np.ndarray],  # [N,12] -> [N,32,3]
+    z_threshold: float = 0.2,
+) -> RecoveredBrep:
+    surf_mask = np.asarray(sample["surf_mask"][batch_idx])
+    valid = ~surf_mask
+
+    edge_mask_cad = np.asarray(sample["edge_mask"][batch_idx])[valid]
+    edge_pos_cad = np.asarray(sample["edge_pos"][batch_idx])[valid]
+    edge_ncs_cad = np.asarray(sample["edge_ncs"][batch_idx])[valid]
+    edgeV_cad = np.asarray(sample["edge_v"][batch_idx])[valid]
+    edge_z_cad = np.asarray(sample["edge_z"][batch_idx])[valid][~edge_mask_cad]
+    surf_z_cad = np.asarray(sample["surf_z"][batch_idx])[valid]
+    surf_pos_cad = np.asarray(sample["surf_pos"][batch_idx])[valid]
+
+    edgeV_bbox = edge_endpoints_from_bbox(edge_pos_cad, edge_ncs_cad, edge_mask_cad)
+
+    unique_vertices, new_vertex_dict = detect_shared_vertex(
+        edgeV_cad, edge_mask_cad, edgeV_bbox
+    )
+    unique_faces_z, unique_edges_z, face_edge_adj, edge_vertex_adj = detect_shared_edge(
+        unique_vertices, new_vertex_dict, edge_z_cad, surf_z_cad,
+        z_threshold, edge_mask_cad,
+    )
+
+    surf_ncs = np.asarray(surf_decode(unique_faces_z))
+    edge_ncs = np.asarray(edge_decode(unique_edges_z))
+
+    surf_wcs, edge_wcs = joint_optimize(
+        surf_ncs, edge_ncs, surf_pos_cad, unique_vertices,
+        edge_vertex_adj, face_edge_adj, len(edge_ncs), len(surf_ncs),
+    )
+    return RecoveredBrep(surf_wcs, edge_wcs, face_edge_adj, edge_vertex_adj, unique_vertices)
