@@ -1,0 +1,118 @@
+"""Geometry kernel tests: B-spline fitting, trimming, STL/PLY/STEP I/O."""
+
+import numpy as np
+import pytest
+
+from brepgen_tpu.data.synthetic import make_cuboid, make_cylinder, make_prism
+from brepgen_tpu.geometry import (
+    construct_brep,
+    eval_bspline_curve,
+    eval_bspline_surface,
+    fit_bspline_curve,
+    fit_bspline_surface,
+    read_ply,
+    read_stl,
+    write_ply,
+    write_stl,
+)
+from brepgen_tpu.geometry.sampling import sample_surface
+from brepgen_tpu.geometry.trimming import order_loops, outer_loop_index
+
+
+def test_curve_fit_accuracy():
+    t = np.linspace(0, 1, 32)
+    pts = np.stack([np.cos(np.pi * t), np.sin(np.pi * t), t**2], -1)
+    curve = fit_bspline_curve(pts)
+    recon = eval_bspline_curve(curve, t)
+    assert np.abs(recon - pts).max() < 5e-3
+    # endpoints exact
+    np.testing.assert_allclose(recon[0], pts[0], atol=1e-9)
+    np.testing.assert_allclose(recon[-1], pts[-1], atol=1e-9)
+
+
+def test_surface_fit_accuracy():
+    u = np.linspace(0, 1, 32)
+    uu, vv = np.meshgrid(u, u, indexing="ij")
+    grid = np.stack([uu, vv, np.outer(np.sin(np.pi * u), np.cos(np.pi * u))], -1)
+    surf = fit_bspline_surface(grid)
+    recon = eval_bspline_surface(surf, u, u)
+    assert np.abs(recon - grid).max() < 1e-2
+
+
+def test_order_loops_cuboid():
+    data = make_cuboid()
+    for f, adj in enumerate(data["faceEdge_adj"]):
+        loops = order_loops(adj, data["edgeCorner_adj"])
+        assert len(loops) == 1 and len(loops[0]) == 4
+
+
+def test_order_loops_cylinder_cap():
+    data = make_cylinder()
+    # caps (faces 2, 3) have 2-edge loops
+    loops = order_loops(data["faceEdge_adj"][2], data["edgeCorner_adj"])
+    assert len(loops) == 1 and len(loops[0]) == 2
+
+
+@pytest.mark.parametrize("maker", [make_cuboid, lambda: make_prism(6), make_cylinder])
+def test_construct_brep_and_export(tmp_path, maker):
+    data = maker()
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"], data["edgeCorner_adj"]
+    )
+    tris = solid.triangles()
+    assert len(tris) > 100
+    assert np.isfinite(tris).all()
+
+    stl_path = str(tmp_path / "s.stl")
+    solid.write_stl(stl_path)
+    back = read_stl(stl_path)
+    np.testing.assert_allclose(back, tris, rtol=1e-5, atol=1e-6)
+
+    step_path = str(tmp_path / "s.step")
+    solid.write_step(step_path)
+    text = open(step_path).read()
+    assert text.startswith("ISO-10303-21;")
+    assert "B_SPLINE_SURFACE_WITH_KNOTS" in text
+    assert "B_SPLINE_CURVE_WITH_KNOTS" in text
+    assert text.rstrip().endswith("END-ISO-10303-21;")
+    # entity references are self-consistent: every #n <= max id
+    import re
+
+    ids = [int(m) for m in re.findall(r"#(\d+)", text)]
+    assert max(ids) == text.count("=") - 2 + 2  # sanity: ids within range
+
+
+def test_prism_cap_trimming():
+    """The hexagonal cap's grid covers its bbox square; trimming must drop
+    the corner cells outside the hexagon."""
+    data = make_prism(6)
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"], data["edgeCorner_adj"]
+    )
+    cap_tris = solid.face_triangles[0]
+    full_cells = 31 * 31 * 2
+    assert len(cap_tris) < full_cells  # trimmed
+    assert len(cap_tris) > 0.5 * full_cells  # but most of the hexagon kept
+
+
+def test_stl_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3))
+    p = str(tmp_path / "c.ply")
+    write_ply(p, pts)
+    back = read_ply(p)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_sample_surface_uniform():
+    # two triangles of very different area: sampling density follows area
+    tris = np.array(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],         # area 0.5
+            [[10, 0, 0], [10.1, 0, 0], [10, 0.1, 0]],  # area 0.005
+        ]
+    )
+    pts = sample_surface(tris, 2000, np.random.default_rng(0))
+    near_big = (pts[:, 0] < 5).sum()
+    assert near_big > 1900
+    assert np.isfinite(pts).all()
