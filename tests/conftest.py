@@ -1,15 +1,22 @@
 """Test configuration: force CPU JAX with 8 virtual devices.
 
-Must run before jax is imported anywhere, so env vars are set at module
-import time (pytest imports conftest before test modules).
+The container's sitecustomize registers the 'axon' TPU-tunnel backend and
+force-selects it via ``jax.config.update("jax_platforms", "axon,cpu")`` at
+interpreter startup -- plain env vars cannot override that. Tests must run
+on the local CPU backend (fast compiles, 8 virtual devices for sharding
+tests), so we update the config back BEFORE any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
