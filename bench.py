@@ -1,0 +1,110 @@
+"""Benchmark: denoise-step throughput of the full-size cascade on one chip.
+
+Measures the two workloads that dominate generation wall-clock (see
+SURVEY.md section 3.3 -- ~1216 sequential denoiser forwards per batch):
+
+  * surf stage: SurfPosNet/SurfZNet-shaped forward, batch 16, 60 tokens
+    (DeepCAD num_surfaces=30 doubled by the late increase);
+  * edge stage: EdgeZNet-shaped forward, batch 16, 60x30=1800 tokens --
+    the heavy stage;
+
+both with the production d=768/12L/12h architecture in bf16, jitted, on
+the real device. The headline metric extrapolates full-cascade
+B-reps/min/chip from the measured per-step times and the reference's step
+counts (408 surf-pos + 209 surf-z + 408 edge-pos + 209 edge-z evals).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to the estimated reference throughput on A100
+(see BASELINE.md for the derivation; the reference publishes no numbers).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from brepgen_tpu.nn import make_edgez_net, make_surfpos_net
+
+# Estimated reference cascade throughput on A100 (BASELINE.md): ~17.5
+# B-reps/min for batch-16 eager fp16 torch. The repo publishes no numbers;
+# this anchors vs_baseline until a measured A100 run replaces it.
+REFERENCE_BREPS_PER_MIN = 17.5
+
+B = 16
+NS = 60          # 30 faces doubled by the late increase (deepcad mode)
+NE = 30
+SURF_EVALS = 408 + 209   # surfpos (158 pndm + 250 ddpm) + surfz (209)
+EDGE_EVALS = 408 + 209   # edgepos + edgez
+
+
+def _time_chained(step, x0, iters=20, warmup=2):
+    """Time ``x = step(x)`` chained (data-dependent) so no caching layer or
+    async trick can elide work; the denoise loops are sequential anyway."""
+    x = x0
+    for _ in range(warmup):
+        x = step(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    iters = 20 if on_tpu else 2
+
+    key = jax.random.PRNGKey(0)
+
+    # --- surf stage (60-token set) ---
+    surf_net = make_surfpos_net(dtype=dtype)
+    x_s = jax.random.normal(key, (B, NS, 6))
+    t = jnp.full((B,), 500, jnp.int32)
+    p_s = surf_net.init(key, (x_s,), t)
+    surf_fwd = jax.jit(lambda x: surf_net.apply(p_s, (x,), t))
+    t_surf = _time_chained(surf_fwd, x_s, iters)
+
+    # --- edge stage (1800-token set) ---
+    edge_net = make_edgez_net(dtype=dtype)
+    S = NS * NE
+    streams = (
+        jax.random.normal(key, (B, S, 12)),
+        jax.random.normal(key, (B, S, 6)),
+        jax.random.normal(key, (B, S, 6)),
+        jax.random.normal(key, (B, S, 6)),
+        jax.random.normal(key, (B, S, 48)),
+    )
+    mask = jnp.zeros((B, S), bool)
+    p_e = edge_net.init(key, streams, t, mask)
+
+    @jax.jit
+    def edge_step(zv):
+        out = edge_net.apply(p_e, (zv[..., :12], zv[..., 12:]) + streams[2:], t, mask)
+        return out  # [B, S, 18] feeds back as the next zv
+
+    t_edge = _time_chained(edge_step, jax.random.normal(key, (B, S, 18)), iters)
+
+    cascade_seconds = SURF_EVALS * t_surf + EDGE_EVALS * t_edge
+    breps_per_min = B / cascade_seconds * 60.0
+
+    result = {
+        "metric": "breps/min/chip (est. full deepcad cascade, batch 16)",
+        "value": round(breps_per_min, 3),
+        "unit": "breps/min",
+        "vs_baseline": round(breps_per_min / REFERENCE_BREPS_PER_MIN, 3),
+        "detail": {
+            "backend": jax.default_backend(),
+            "surf_step_ms": round(t_surf * 1e3, 3),
+            "edge_step_ms": round(t_edge * 1e3, 3),
+            "edge_steps_per_s": round(1.0 / t_edge, 2),
+            "cascade_s_per_batch16": round(cascade_seconds, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

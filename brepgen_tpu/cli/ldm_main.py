@@ -1,0 +1,238 @@
+"""LDM training CLI -- flag parity with reference ``ldm.py`` + ``utils.py:176-207``."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brepgen_tpu.cli.build import build_denoiser, build_vae, resolve_samples
+from brepgen_tpu.nn import EdgeVAE, SurfVAE
+from brepgen_tpu.data.assembly import (
+    assemble_edgepos,
+    assemble_edgez,
+    assemble_surfpos,
+    assemble_surfz,
+    filter_sample,
+)
+from brepgen_tpu.data.loader import Batcher
+from brepgen_tpu.data.synthetic import make_dataset
+from brepgen_tpu.diffusion import make_ddpm_tables
+from brepgen_tpu.train import ldm_train
+from brepgen_tpu.train.checkpoint import load_params, save_checkpoint, save_params
+from brepgen_tpu.train.common import init_state, make_ldm_optimizer
+from brepgen_tpu.train.logging import MetricsLogger
+from brepgen_tpu.train.vae_train import make_encoder_fn
+
+BATCH_KEYS = {
+    "surfpos": ("surfpos",),
+    "surfz": ("surfpos", "surfpnt", "surf_mask"),
+    "edgepos": ("edgepos", "surfpnt", "surfpos", "surf_mask"),
+    "edgez": ("edgepnt", "edgepos", "edge_mask", "surfpnt", "surfpos", "vertpos"),
+}
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="data_process/deepcad_parsed")
+    p.add_argument("--list", type=str, default="data_process/deepcad_data_split_6bit.pkl")
+    p.add_argument("--surfvae", type=str, default="proj_log/deepcad_surfvae/epoch_400")
+    p.add_argument("--edgevae", type=str, default="proj_log/deepcad_edgevae/epoch_300")
+    p.add_argument("--option", type=str,
+                   choices=["surfpos", "surfz", "edgepos", "edgez"], default="surfpos")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--train_nepoch", type=int, default=3000)
+    p.add_argument("--test_nepoch", type=int, default=25)
+    p.add_argument("--save_nepoch", type=int, default=50)
+    p.add_argument("--max_face", type=int, default=50)
+    p.add_argument("--max_edge", type=int, default=30)
+    p.add_argument("--threshold", type=float, default=0.05)
+    p.add_argument("--bbox_scaled", type=float, default=3.0)
+    p.add_argument("--z_scaled", type=float, default=1.0)
+    p.add_argument("--gpu", type=int, nargs="+", default=[0, 1])  # accepted, unused
+    p.add_argument("--data_aug", action="store_true")
+    p.add_argument("--cf", action="store_true")
+    p.add_argument("--env", type=str, default="surface_pos")
+    p.add_argument("--dir_name", type=str, default="proj_log")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--small", action="store_true", help="tiny debug architecture")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    args.save_dir = f"{args.dir_name}/{args.env}"
+    return args
+
+
+def make_assemble_fn(args):
+    if args.option == "surfpos":
+        return lambda d, rng: assemble_surfpos(
+            d, rng, args.max_face, args.bbox_scaled, args.data_aug
+        )
+    if args.option == "surfz":
+        return lambda d, rng: assemble_surfz(
+            d, rng, args.max_face, args.bbox_scaled, args.data_aug
+        )
+    if args.option == "edgepos":
+        return lambda d, rng: assemble_edgepos(
+            d, rng, args.max_face, args.max_edge, args.bbox_scaled, args.data_aug
+        )
+    return lambda d, rng: assemble_edgez(
+        d, rng, args.max_face, args.max_edge, args.bbox_scaled, args.data_aug
+    )
+
+
+def load_filtered_samples(args, split):
+    """Returns (samples, class_labels or None); samples are dicts or paths."""
+    if args.synthetic:
+        n = args.synthetic if split == "train" else max(args.synthetic // 10, 2)
+        ds = make_dataset(n, seed=args.seed + (0 if split == "train" else 1))
+        kept = [d for d in ds if filter_sample(d, args.max_face, args.max_edge,
+                                               args.bbox_scaled, args.threshold)]
+        print(f"{split}: kept {len(kept)}/{len(ds)} synthetic solids")
+        return kept, None
+
+    paths, labels = resolve_samples(args.data, args.list, split)
+    kept, kept_labels = [], []
+    for i, path in enumerate(paths):
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        if filter_sample(d, args.max_face, args.max_edge, args.bbox_scaled, args.threshold):
+            kept.append(path)
+            if labels is not None:
+                kept_labels.append(labels[i])
+    print(f"{split}: kept {len(kept)}/{len(paths)}")
+    # furniture inflation x50 (reference dataset.py:224-226)
+    if len(kept) < 2000 and split == "train" and labels is not None:
+        kept = kept * 50
+        kept_labels = kept_labels * 50
+    return kept, (kept_labels if labels is not None else None)
+
+
+def to_batch(args, raw):
+    keys = BATCH_KEYS[args.option]
+    batch = {k: jnp.asarray(v) for k, v in zip(keys, raw)}
+    if len(raw) > len(keys):  # trailing class labels
+        batch["class_label"] = jnp.asarray(raw[len(keys)])
+    return batch
+
+
+def main(argv=None):
+    args = get_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    key = jax.random.PRNGKey(args.seed)
+
+    small_kw = (dict(width=32, num_heads=2, ffn_width=64, num_layers=1)
+                if args.small else {})
+    model = build_denoiser(args.option, use_cf=args.cf, dtype=dtype, **small_kw)
+    tables = make_ddpm_tables()
+    opt = make_ldm_optimizer()
+
+    # frozen VAEs where needed
+    surf_enc = surf_vae_params = edge_enc = edge_vae_params = None
+    if args.option in ("surfz", "edgepos", "edgez"):
+        surf_vae = (SurfVAE(block_out_channels=(8, 8, 8, 8), dtype=dtype)
+                    if args.small else build_vae("surface", dtype=dtype))
+        template = surf_vae.init(key, jnp.zeros((1, 32, 32, 3)))
+        surf_vae_params = load_params(args.surfvae, template)
+        surf_enc = make_encoder_fn(surf_vae)
+    if args.option == "edgez":
+        edge_vae = (EdgeVAE(block_out_channels=(8, 8, 8), dtype=dtype)
+                    if args.small else build_vae("edge", dtype=dtype))
+        template = edge_vae.init(key, jnp.zeros((1, 32, 3)))
+        edge_vae_params = load_params(args.edgevae, template)
+        edge_enc = make_encoder_fn(edge_vae)
+
+    # init denoiser params with a correctly-shaped dummy batch
+    nf, ne = args.max_face, args.max_edge
+    B0 = 2
+    label0 = jnp.zeros((B0, 1), jnp.int32) if args.cf else None
+    t0 = jnp.zeros((B0,), jnp.int32)
+    if args.option == "surfpos":
+        params = model.init(key, (jnp.zeros((B0, nf, 6)),), t0, None, label0)
+    elif args.option == "surfz":
+        params = model.init(
+            key, (jnp.zeros((B0, nf, 48)), jnp.zeros((B0, nf, 6))), t0, None, label0
+        )
+    elif args.option == "edgepos":
+        S = nf * ne
+        params = model.init(
+            key,
+            (jnp.zeros((B0, S, 6)), jnp.zeros((B0, S, 6)), jnp.zeros((B0, S, 48))),
+            t0, None, label0,
+        )
+    else:
+        S = nf * ne
+        params = model.init(
+            key,
+            (jnp.zeros((B0, S, 12)), jnp.zeros((B0, S, 6)), jnp.zeros((B0, S, 6)),
+             jnp.zeros((B0, S, 6)), jnp.zeros((B0, S, 48))),
+            t0, None, label0,
+        )
+
+    state = init_state(params, opt)
+
+    if args.option == "surfpos":
+        step_fn = ldm_train.make_surfpos_step(model, opt, tables, args.cf)
+    elif args.option == "surfz":
+        step_fn = ldm_train.make_surfz_step(model, opt, tables, surf_enc, surf_vae_params, args.cf)
+    elif args.option == "edgepos":
+        step_fn = ldm_train.make_edgepos_step(model, opt, tables, surf_enc, surf_vae_params, args.cf)
+    else:
+        step_fn = ldm_train.make_edgez_step(
+            model, opt, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params, args.cf
+        )
+    val_fn = ldm_train.make_val_step(
+        args.option, model, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params, args.cf
+    )
+
+    train_samples, train_labels = load_filtered_samples(args, "train")
+    val_samples, val_labels = load_filtered_samples(args, "val")
+    assemble = make_assemble_fn(args)
+    batcher = Batcher(train_samples, assemble, args.batch_size, seed=args.seed,
+                      class_labels=train_labels, num_workers=args.num_workers)
+    val_batcher = Batcher(val_samples, assemble, min(args.batch_size, max(len(val_samples), 1)),
+                          seed=args.seed, class_labels=val_labels, drop_last=False)
+
+    logger = MetricsLogger(args.save_dir, args.env)
+    jrng = jax.random.PRNGKey(args.seed + 2)
+    val_steps = (10, 50, 100, 200, 500) if args.option in ("surfpos", "surfz") else (10, 50, 100)
+
+    step = 0
+    for epoch in range(1, args.train_nepoch + 1):
+        for raw in batcher:
+            batch = to_batch(args, raw)
+            jrng, sub = jax.random.split(jrng)
+            state, m = step_fn(state, batch, sub)
+            if step % 10 == 0:
+                logger.log({k: float(v) for k, v in m.items()}, step)
+            step += 1
+
+        if epoch % args.test_nepoch == 0 and len(val_samples):
+            metrics = {}
+            for t_fixed in val_steps:
+                total, count = 0.0, 0.0
+                for raw in val_batcher:
+                    batch = to_batch(args, raw)
+                    jrng, sub = jax.random.split(jrng)
+                    s, c = val_fn(state.params, batch, sub, t_fixed)
+                    total += float(s)
+                    count += float(c)
+                metrics[f"Val-{t_fixed:03d}"] = total / max(count, 1)
+            logger.log(metrics, step)
+            print(f"epoch {epoch}: {metrics}")
+
+        if epoch % args.save_nepoch == 0 or epoch == args.train_nepoch:
+            save_params(args.save_dir, state.params, f"epoch_{epoch}")
+            save_checkpoint(args.save_dir, state, "latest")
+
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Generation CLI -- parity with reference ``sample.py --mode {abc,deepcad,furniture}``.
+
+Loads the four denoisers + two VAE decoders, runs the jitted device
+cascade, post-processes each sample on the host (overlapped with the next
+batch's device generation via a thread pool), and writes STEP + STL.
+
+Differences from the reference (TPU-first):
+  * dedup runs on device with static shapes (no host sync mid-cascade);
+  * ``--num_samples N`` stops after N valid B-reps (0 = loop forever,
+    the reference's ``while True``);
+  * weights are orbax checkpoints (paths in ``eval_config_tpu.yaml``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import string
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from brepgen_tpu.cli.build import build_denoiser, build_vae
+from brepgen_tpu.geometry.brep_build import construct_brep
+from brepgen_tpu.postprocess.pipeline import postprocess_single
+from brepgen_tpu.postprocess.vertex_merge import PostprocessError
+from brepgen_tpu.sampling import CascadeConfig, build_cascade
+from brepgen_tpu.train.checkpoint import load_params
+from brepgen_tpu.train.vae_train import make_decoder_fn
+
+DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "..", "eval_config_tpu.yaml")
+
+
+def random_string(length=15):
+    return "".join(random.choice(string.ascii_letters + string.digits) for _ in range(length))
+
+
+def make_padded_decoder(decode_fn, params, item_shape):
+    """Variable-N host decode without recompiles: pad N to powers of two."""
+
+    def decode(z: np.ndarray) -> np.ndarray:
+        n = len(z)
+        n_pad = 1 << max(n - 1, 1).bit_length()
+        z_pad = np.zeros((n_pad,) + z.shape[1:], np.float32)
+        z_pad[:n] = z
+        out = decode_fn(params, jnp.asarray(z_pad).reshape((n_pad,) + item_shape))
+        return np.asarray(out)[:n]
+
+    return decode
+
+
+def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides=None):
+    use_cf = bool(eval_args["use_cf"])
+    key = jax.random.PRNGKey(0)
+    arch_kw = dict(width=32, num_heads=2, ffn_width=64, num_layers=1) if small else {}
+
+    nets, params = {}, {}
+    for stage in ("surfpos", "surfz", "edgepos", "edgez"):
+        net = build_denoiser(stage, use_cf=use_cf, dtype=dtype, **arch_kw)
+        nets[stage] = net
+        template = _init_template(net, stage, use_cf, key)
+        params[stage] = load_params(eval_args[f"{stage}_weight"], template)
+
+    if small:
+        from brepgen_tpu.nn import EdgeVAE, SurfVAE
+
+        surf_vae = SurfVAE(block_out_channels=(8, 8, 8, 8), dtype=dtype)
+        edge_vae = EdgeVAE(block_out_channels=(8, 8, 8), dtype=dtype)
+    else:
+        surf_vae = build_vae("surface", dtype=dtype)
+        edge_vae = build_vae("edge", dtype=dtype)
+    sp_t = surf_vae.init(key, jnp.zeros((1, 32, 32, 3)))
+    ep_t = edge_vae.init(key, jnp.zeros((1, 32, 3)))
+    sp = load_params(eval_args["surfvae_weight"], sp_t)
+    ep = load_params(eval_args["edgevae_weight"], ep_t)
+
+    config = CascadeConfig(
+        batch_size=int(eval_args["batch_size"]),
+        num_surfaces=int(eval_args["num_surfaces"]),
+        num_edges=int(eval_args["num_edges"]),
+        use_cf=use_cf,
+        class_label=_class_label_id(eval_args),
+        z_threshold=float(eval_args["z_threshold"]),
+        bbox_threshold=float(eval_args["bbox_threshold"]),
+        **(step_overrides or {}),
+    )
+    surf_decode = make_decoder_fn(surf_vae)
+    edge_decode = make_decoder_fn(edge_vae)
+    cascade = build_cascade(nets, params, surf_decode, sp, edge_decode, ep, config)
+    host_surf_decode = make_padded_decoder(surf_decode, sp, (4, 4, 3))
+    host_edge_decode = make_padded_decoder(edge_decode, ep, (4, 3))
+    return cascade, config, host_surf_decode, host_edge_decode
+
+
+def _class_label_id(eval_args) -> int:
+    from brepgen_tpu.sampling.cascade import TEXT2INT
+
+    label = eval_args.get("class_label")
+    return TEXT2INT.get(label, 0) if isinstance(label, str) else 0
+
+
+def _init_template(net, stage, use_cf, key):
+    B, nf, ne = 1, 4, 3
+    S = nf * ne
+    t = jnp.zeros((B,), jnp.int32)
+    label = jnp.zeros((B, 1), jnp.int32) if use_cf else None
+    shapes = {
+        "surfpos": [(B, nf, 6)],
+        "surfz": [(B, nf, 48), (B, nf, 6)],
+        "edgepos": [(B, S, 6), (B, S, 6), (B, S, 48)],
+        "edgez": [(B, S, 12), (B, S, 6), (B, S, 6), (B, S, 6), (B, S, 48)],
+    }[stage]
+    streams = tuple(jnp.zeros(s) for s in shapes)
+    return net.init(key, streams, t, None, label)
+
+
+def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, save_folder):
+    try:
+        rec = postprocess_single(sample_np, batch_idx, surf_decode, edge_decode, z_threshold)
+    except (PostprocessError, AssertionError, IndexError, ValueError) as e:
+        return None, f"postprocess failed: {e}"
+    try:
+        solid = construct_brep(
+            rec.surf_wcs, rec.edge_wcs, rec.face_edge_adj, rec.edge_vertex_adj
+        )
+    except Exception as e:  # noqa: BLE001 -- parity with reference's skip
+        return None, f"brep rebuild failed: {e}"
+    name = f"{random_string()}_{batch_idx}"
+    solid.write_step(os.path.join(save_folder, name + ".step"))
+    solid.write_stl(os.path.join(save_folder, name + ".stl"))
+    return name, None
+
+
+def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
+                dtype=jnp.float32, max_batches: int = 0, workers: int = 8,
+                small: bool = False, step_overrides=None):
+    save_folder = eval_args["save_folder"]
+    os.makedirs(save_folder, exist_ok=True)
+    cascade, config, surf_decode, edge_decode = init_cascade(
+        eval_args, dtype, small=small, step_overrides=step_overrides)
+
+    key = jax.random.PRNGKey(seed)
+    produced = 0
+    batches = 0
+    pool = ThreadPoolExecutor(workers)
+    pending = []
+    while True:
+        key, sub = jax.random.split(key)
+        out = cascade(sub)  # device compute for batch k...
+        sample_np = {k: np.asarray(v) for k, v in out.items()}
+        # ...host postprocess for batch k overlaps the next device batch
+        for b in range(config.batch_size):
+            pending.append(
+                pool.submit(process_one, sample_np, b, surf_decode, edge_decode,
+                            config.z_threshold, save_folder)
+            )
+        batches += 1
+        done, still = [], []
+        for f in pending:
+            (done if f.done() else still).append(f)
+        for f in done:
+            name, err = f.result()
+            produced += name is not None
+        pending = still
+        if (num_samples and produced >= num_samples) or (max_batches and batches >= max_batches):
+            break
+    for f in pending:
+        name, err = f.result()
+        produced += name is not None
+    pool.shutdown()
+    print(f"produced {produced} valid B-reps from {batches} batches")
+    return produced
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", type=str, choices=["abc", "deepcad", "furniture"], default="abc")
+    p.add_argument("--config", type=str, default=None, help="eval config yaml")
+    p.add_argument("--num_samples", type=int, default=0, help="stop after N valid (0=forever)")
+    p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--small", action="store_true", help="tiny debug architecture")
+    p.add_argument("--pndm_steps", type=int, default=None)
+    p.add_argument("--pos_pndm_calls", type=int, default=None)
+    p.add_argument("--ddpm_tail", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg_path = args.config or os.path.abspath(DEFAULT_CONFIG)
+    with open(cfg_path) as f:
+        eval_args = yaml.safe_load(f)[args.mode]
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    overrides = {
+        k: getattr(args, k)
+        for k in ("pndm_steps", "pos_pndm_calls", "ddpm_tail")
+        if getattr(args, k) is not None
+    }
+    sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,
+                small=args.small, step_overrides=overrides)
+
+
+if __name__ == "__main__":
+    main()
