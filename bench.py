@@ -60,7 +60,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # --- surf stage (60-token set) ---
-    surf_net = make_surfpos_net(dtype=dtype)
+    attn = "pallas" if on_tpu else "xla"
+    surf_net = make_surfpos_net(dtype=dtype, attn_impl=attn)
     x_s = jax.random.normal(key, (B, NS, 6))
     t = jnp.full((B,), 500, jnp.int32)
     p_s = surf_net.init(key, (x_s,), t)
@@ -68,7 +69,7 @@ def main():
     t_surf = _time_chained(surf_fwd, x_s, iters)
 
     # --- edge stage (1800-token set) ---
-    edge_net = make_edgez_net(dtype=dtype)
+    edge_net = make_edgez_net(dtype=dtype, attn_impl=attn)
     S = NS * NE
     streams = (
         jax.random.normal(key, (B, S, 12)),

@@ -55,10 +55,12 @@ class MultiHeadSelfAttention(nn.Module):
         split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
-        if self.attn_impl == "pallas":
+        if self.attn_impl in ("pallas", "pallas_interpret"):
             from brepgen_tpu.kernels.attention import fused_set_attention
 
-            out = fused_set_attention(q, k, v, key_padding_mask)
+            out = fused_set_attention(
+                q, k, v, key_padding_mask, 128, self.attn_impl == "pallas_interpret"
+            )
         else:
             out = masked_attention_xla(q, k, v, key_padding_mask)
 
