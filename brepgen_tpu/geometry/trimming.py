@@ -20,6 +20,11 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from brepgen_tpu.data.augment import get_bbox_norm
+from brepgen_tpu.geometry.native_bindings import (
+    cells_inside_polygons,
+    nearest_grid_index,
+    tessellate_cells,
+)
 
 
 def order_loops(
@@ -76,34 +81,6 @@ def loop_polyline(loop, edge_wcs: np.ndarray) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def _points_to_uv_index(points: np.ndarray, grid: np.ndarray) -> np.ndarray:
-    """Map 3D points to fractional (i, j) indices of their nearest grid
-    samples. grid: [Nu, Nv, 3]."""
-    Nu, Nv, _ = grid.shape
-    flat = grid.reshape(-1, 3)
-    d2 = (
-        np.sum(points**2, -1)[:, None]
-        + np.sum(flat**2, -1)[None, :]
-        - 2.0 * points @ flat.T
-    )
-    idx = np.argmin(d2, axis=1)
-    return np.stack([idx // Nv, idx % Nv], -1).astype(float)
-
-
-def _even_odd_inside(px: np.ndarray, py: np.ndarray, polys: List[np.ndarray]) -> np.ndarray:
-    """Vectorized even-odd point-in-polygon over multiple polygons."""
-    inside = np.zeros(px.shape, bool)
-    for poly in polys:
-        x, y = poly[:, 0], poly[:, 1]
-        x2, y2 = np.roll(x, -1), np.roll(y, -1)
-        for k in range(len(poly)):
-            cond = ((y[k] > py) != (y2[k] > py)) & (
-                px < (x2[k] - x[k]) * (py - y[k]) / (y2[k] - y[k] + 1e-30) + x[k]
-            )
-            inside ^= cond
-    return inside
-
-
 def trim_face_grid(
     grid: np.ndarray,                 # [Nu, Nv, 3]
     loops,                            # from order_loops
@@ -114,7 +91,7 @@ def trim_face_grid(
     polys = []
     for loop in loops:
         poly3d = loop_polyline(loop, edge_wcs)
-        uv = _points_to_uv_index(poly3d, grid)
+        uv = nearest_grid_index(poly3d, grid)
         # drop consecutive duplicates
         keep = np.ones(len(uv), bool)
         keep[1:] = np.any(np.diff(uv, axis=0) != 0, axis=1)
@@ -122,19 +99,11 @@ def trim_face_grid(
         if len(uv) >= 3:
             polys.append(uv)
 
-    ci, cj = np.meshgrid(
-        np.arange(Nu - 1) + 0.5, np.arange(Nv - 1) + 0.5, indexing="ij"
-    )
     if polys:
-        inside = _even_odd_inside(ci, cj, polys)
+        inside = cells_inside_polygons(polys, Nu, Nv)
         if not inside.any():
-            inside = np.ones_like(inside)
+            inside = np.ones((Nu - 1, Nv - 1), bool)
     else:
-        inside = np.ones(ci.shape, bool)
+        inside = np.ones((Nu - 1, Nv - 1), bool)
 
-    tris = []
-    for i, j in zip(*np.where(inside)):
-        a, b, c, d = grid[i, j], grid[i + 1, j], grid[i + 1, j + 1], grid[i, j + 1]
-        tris.append([a, b, c])
-        tris.append([a, c, d])
-    return np.asarray(tris)
+    return tessellate_cells(grid, inside)
