@@ -91,7 +91,13 @@ def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides
     )
     surf_decode = make_decoder_fn(surf_vae)
     edge_decode = make_decoder_fn(edge_vae)
-    cascade = build_cascade(nets, params, surf_decode, sp, edge_decode, ep, config)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from brepgen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((len(jax.devices()), 1))
+    cascade = build_cascade(nets, params, surf_decode, sp, edge_decode, ep, config,
+                            mesh=mesh)
     host_surf_decode = make_padded_decoder(surf_decode, sp, (4, 4, 3))
     host_edge_decode = make_padded_decoder(edge_decode, ep, (4, 3))
     return cascade, config, host_surf_decode, host_edge_decode

@@ -30,6 +30,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from brepgen_tpu.diffusion import (
     ddpm_scan,
@@ -109,9 +110,23 @@ def build_cascade(
     edge_decode: Callable,      # (params, z[N,4,3]) -> [N,32,3]
     edge_vae_params: Any,
     config: CascadeConfig,
+    mesh: Optional[Mesh] = None,
 ) -> Callable:
-    """Returns jitted fn(key) -> dict of device arrays for postprocessing."""
+    """Returns jitted fn(key) -> dict of device arrays for postprocessing.
+
+    With a ``mesh``, the batch axis is sharded over 'data' (sampling is
+    embarrassingly parallel across CAD solids) -- the constraint on the
+    initial noise propagates through the whole cascade, so N chips run N
+    independent shards with no collectives.
+    """
     cfg = config
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
     B = cfg.batch_size
     ns0 = cfg.num_surfaces
     # late increase doubles the face set for unconditional modes
@@ -164,7 +179,7 @@ def build_cascade(
         keys = jax.random.split(key, 8)
 
         # ---- STEP 1-1: surface positions -------------------------------
-        surfpos = jax.random.normal(keys[0], (B, ns0, 6))
+        surfpos = _shard(jax.random.normal(keys[0], (B, ns0, 6)))
         eps1 = _cfg_eps(lambda x, t, lbl: surfpos_apply(x, t, lbl), cfg)
         surfpos = pndm_scan(lambda x, t: eps1(x, t), surfpos, pndm_pos_plan)
         if not cfg.use_cf:
@@ -179,7 +194,7 @@ def build_cascade(
         surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
 
         # ---- STEP 1-3: surface latents ---------------------------------
-        surfz = jax.random.normal(keys[2], (B, ns, 48))
+        surfz = _shard(jax.random.normal(keys[2], (B, ns, 48)))
         eps2 = _cfg_eps(
             lambda x, t, lbl, sp, m: surfz_apply(x, t, lbl, sp, m), cfg
         )
@@ -193,7 +208,7 @@ def build_cascade(
         surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
 
         # ---- STEP 2-1: edge positions ----------------------------------
-        edgepos = jax.random.normal(keys[3], (B, ns, ne, 6))
+        edgepos = _shard(jax.random.normal(keys[3], (B, ns, ne, 6)))
 
         def edgepos_eps(x, t):
             if cfg.use_cf:
@@ -212,7 +227,7 @@ def build_cascade(
         edge_mask = ~edge_keep
 
         # ---- STEP 2-3: edge latents + endpoints ------------------------
-        edgezv = jax.random.normal(keys[5], (B, ns, ne, 18))
+        edgezv = _shard(jax.random.normal(keys[5], (B, ns, ne, 18)))
 
         def edgez_eps(x, t):
             if cfg.use_cf:

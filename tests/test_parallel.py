@@ -97,3 +97,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_cascade_matches_unsharded():
+    """Tiny cascade, batch 8 sharded over the 8-device data axis, matches
+    the single-device result (sampling is embarrassingly parallel)."""
+    from tests.test_sampling import _build_tiny_cascade
+
+    cascade1, cfg = _build_tiny_cascade(use_cf=False, batch_size=8)
+    mesh = make_mesh((8, 1))
+    cascade8, _ = _build_tiny_cascade(use_cf=False, mesh=mesh, batch_size=8)
+
+    out1 = cascade1(jax.random.PRNGKey(0))
+    with mesh:
+        out8 = cascade8(jax.random.PRNGKey(0))
+    for k in out1:
+        np.testing.assert_allclose(
+            np.asarray(out1[k], np.float32), np.asarray(out8[k], np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
+    # output really is sharded across 8 devices
+    assert len(out8["surf_ncs"].sharding.device_set) == 8

@@ -67,7 +67,7 @@ def test_edge_dedup_respects_face_mask():
     assert keep[0, 0, 0] and keep[0, 2, 0]  # first edge of valid faces kept
 
 
-def _build_tiny_cascade(use_cf=False):
+def _build_tiny_cascade(use_cf=False, mesh=None, batch_size=2):
     nets = {
         "surfpos": make_surfpos_net(use_cf=use_cf, **SMALL),
         "surfz": make_surfz_net(use_cf=use_cf, **SMALL),
@@ -75,7 +75,7 @@ def _build_tiny_cascade(use_cf=False):
         "edgez": make_edgez_net(use_cf=use_cf, **SMALL),
     }
     cfg = CascadeConfig(
-        batch_size=2,
+        batch_size=batch_size,
         num_surfaces=4,
         num_edges=3,
         use_cf=use_cf,
@@ -126,7 +126,7 @@ def _build_tiny_cascade(use_cf=False):
         nets, params,
         lambda p, z: surf_vae.apply(p, z, method=SurfVAE.decode), sp,
         lambda p, z: edge_vae.apply(p, z, method=EdgeVAE.decode), ep,
-        cfg,
+        cfg, mesh=mesh,
     ), cfg
 
 
