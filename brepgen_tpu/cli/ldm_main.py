@@ -62,6 +62,8 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/latest if present")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     args.save_dir = f"{args.dir_name}/{args.env}"
@@ -176,6 +178,11 @@ def main(argv=None):
         )
 
     state = init_state(params, opt)
+    if args.resume and os.path.isdir(os.path.join(args.save_dir, "latest")):
+        from brepgen_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(os.path.join(args.save_dir, "latest"), state)
+        print(f"resumed from step {int(state.step)}")
 
     if args.option == "surfpos":
         step_fn = ldm_train.make_surfpos_step(model, opt, tables, args.cf)

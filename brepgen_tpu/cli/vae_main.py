@@ -44,6 +44,8 @@ def get_args(argv=None):
                    help="Train on N synthetic solids instead of extracted data")
     p.add_argument("--bf16", action="store_true", help="bf16 compute (TPU)")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/latest if present")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     args.save_dir = f"{args.dir_name}/{args.env}"
@@ -97,6 +99,11 @@ def main(argv=None):
 
     opt = make_vae_optimizer()
     state = init_state(params, opt)
+    if args.resume and os.path.isdir(os.path.join(args.save_dir, "latest")):
+        from brepgen_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(os.path.join(args.save_dir, "latest"), state)
+        print(f"resumed from step {int(state.step)}")
     train_step = vae_train.make_train_step(model, opt)
     eval_step = vae_train.make_eval_step(model)
     logger = MetricsLogger(args.save_dir, args.env)
