@@ -175,29 +175,31 @@ def build_cascade(
         )
         return pred.reshape(b, nf, k, 18)
 
-    def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
-        keys = jax.random.split(key, 8)
+    # The cascade runs as FIVE independently-jitted stage programs composed
+    # in Python. A single monolithic jit is semantically identical but its
+    # one huge XLA program compiles far slower (especially with remote
+    # compilation); per-stage jits keep every tensor device-resident, so
+    # the only extra cost is 4 dispatches per generated batch.
 
-        # ---- STEP 1-1: surface positions -------------------------------
-        surfpos = _shard(jax.random.normal(keys[0], (B, ns0, 6)))
-        eps1 = _cfg_eps(lambda x, t, lbl: surfpos_apply(x, t, lbl), cfg)
+    eps1 = _cfg_eps(lambda x, t, lbl: surfpos_apply(x, t, lbl), cfg)
+
+    @jax.jit
+    def stage_surfpos(key: jax.Array) -> jnp.ndarray:
+        k0, k1 = jax.random.split(key)
+        surfpos = _shard(jax.random.normal(k0, (B, ns0, 6)))
         surfpos = pndm_scan(lambda x, t: eps1(x, t), surfpos, pndm_pos_plan)
         if not cfg.use_cf:
             surfpos = jnp.concatenate([surfpos, surfpos], axis=1)  # late increase
-        surfpos = ddpm_scan(
-            lambda x, t: eps1(x, t), surfpos, ddpm_plan, keys[1], cfg.ddpm_clip
-        )
+        return ddpm_scan(lambda x, t: eps1(x, t), surfpos, ddpm_plan, k1, cfg.ddpm_clip)
 
-        # ---- STEP 1-2: dedup faces -> mask -----------------------------
+    @jax.jit
+    def stage_surfz(key: jax.Array, surfpos: jnp.ndarray):
         surf_keep = dedup_bboxes(surfpos, cfg.bbox_threshold)   # True = keep
         surf_mask = ~surf_keep                                   # True = pad
         surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
 
-        # ---- STEP 1-3: surface latents ---------------------------------
-        surfz = _shard(jax.random.normal(keys[2], (B, ns, 48)))
-        eps2 = _cfg_eps(
-            lambda x, t, lbl, sp, m: surfz_apply(x, t, lbl, sp, m), cfg
-        )
+        surfz = _shard(jax.random.normal(key, (B, ns, 48)))
+        eps2 = _cfg_eps(lambda x, t, lbl, sp, m: surfz_apply(x, t, lbl, sp, m), cfg)
 
         def surfz_eps(x, t):
             if cfg.use_cf:
@@ -206,9 +208,12 @@ def build_cascade(
             return surfz_apply(x, t, None, surfpos, surf_mask)
 
         surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
+        return surfpos, surf_mask, surf_keep, surfz
 
-        # ---- STEP 2-1: edge positions ----------------------------------
-        edgepos = _shard(jax.random.normal(keys[3], (B, ns, ne, 6)))
+    @jax.jit
+    def stage_edgepos(key: jax.Array, surfpos, surfz, surf_mask):
+        edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
+        k_noise = jax.random.fold_in(key, 1)
 
         def edgepos_eps(x, t):
             if cfg.use_cf:
@@ -220,14 +225,14 @@ def build_cascade(
             return edgepos_apply(x, t, None, surfpos, surfz, surf_mask)
 
         edgepos = pndm_scan(edgepos_eps, edgepos, pndm_pos_plan)
-        edgepos = ddpm_scan(edgepos_eps, edgepos, ddpm_plan, keys[4], cfg.ddpm_clip)
+        return ddpm_scan(edgepos_eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
 
-        # ---- STEP 2-2: dedup edges per face -> mask --------------------
+    @jax.jit
+    def stage_edgez(key: jax.Array, edgepos, surfpos, surfz, surf_keep):
         edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
         edge_mask = ~edge_keep
 
-        # ---- STEP 2-3: edge latents + endpoints ------------------------
-        edgezv = _shard(jax.random.normal(keys[5], (B, ns, ne, 18)))
+        edgezv = _shard(jax.random.normal(key, (B, ns, ne, 18)))
 
         def edgez_eps(x, t):
             if cfg.use_cf:
@@ -240,18 +245,26 @@ def build_cascade(
 
         edgezv = pndm_scan(edgez_eps, edgezv, pndm_full_plan)
         edgezv = jnp.where(edge_mask[..., None], 0.0, edgezv)
+        return edge_mask, edgezv
 
+    @jax.jit
+    def stage_decode(surfz, edgezv):
         edge_z = edgezv[..., :12]
-        edge_v = edgezv[..., 12:]
-
-        # ---- VAE decode ------------------------------------------------
         surf_ncs = surf_decode(
             surf_vae_params, surfz.reshape(B * ns, 4, 4, 3)
         ).reshape(B, ns, 32, 32, 3)
         edge_ncs = edge_decode(
             edge_vae_params, edge_z.reshape(B * ns * ne, 4, 3)
         ).reshape(B, ns, ne, 32, 3)
+        return surf_ncs, edge_ncs
 
+    def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
+        keys = jax.random.split(key, 8)
+        surfpos = stage_surfpos(keys[0])
+        surfpos, surf_mask, surf_keep, surfz = stage_surfz(keys[2], surfpos)
+        edgepos = stage_edgepos(keys[3], surfpos, surfz, surf_mask)
+        edge_mask, edgezv = stage_edgez(keys[5], edgepos, surfpos, surfz, surf_keep)
+        surf_ncs, edge_ncs = stage_decode(surfz, edgezv)
         return {
             "surf_pos": surfpos / cfg.bbox_scaled,
             "surf_mask": surf_mask,
@@ -259,9 +272,9 @@ def build_cascade(
             "surf_ncs": surf_ncs,
             "edge_pos": edgepos / cfg.bbox_scaled,
             "edge_mask": edge_mask,
-            "edge_z": edge_z,
-            "edge_v": edge_v,
+            "edge_z": edgezv[..., :12],
+            "edge_v": edgezv[..., 12:],
             "edge_ncs": edge_ncs,
         }
 
-    return jax.jit(cascade)
+    return cascade
