@@ -32,6 +32,7 @@ from brepgen_tpu.postprocess.vertex_merge import PostprocessError
 from brepgen_tpu.sampling import CascadeConfig, build_cascade
 from brepgen_tpu.train.checkpoint import load_params
 from brepgen_tpu.train.vae_train import make_decoder_fn
+from brepgen_tpu.utils.profiling import StageTimer
 
 DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "..", "eval_config_tpu.yaml")
 
@@ -155,10 +156,12 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
     batches = 0
     pool = ThreadPoolExecutor(workers)
     pending = []
+    timer = StageTimer()
     while True:
         key, sub = jax.random.split(key)
-        out = cascade(sub)  # device compute for batch k...
-        sample_np = {k: np.asarray(v) for k, v in out.items()}
+        with timer.stage("device_cascade"):
+            out = cascade(sub)  # device compute for batch k...
+            sample_np = {k: np.asarray(v) for k, v in out.items()}
         # ...host postprocess for batch k overlaps the next device batch
         for b in range(config.batch_size):
             pending.append(
@@ -180,6 +183,7 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
         produced += name is not None
     pool.shutdown()
     print(f"produced {produced} valid B-reps from {batches} batches")
+    print(timer.report())
     return produced
 
 
