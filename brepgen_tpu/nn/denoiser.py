@@ -12,6 +12,11 @@ nets are factory configurations. Face-level conditioning for the edge
 stages is broadcast per-edge and flattened by the helpers below (the
 reference does the same with repeat+flatten at ``network.py:1265-1268``).
 
+Sampling-path optimization: conditioning streams are constant across the
+whole denoise loop, so ``embed_streams`` can pre-compute their summed token
+embedding once per stage and ``denoise`` adds it each step -- only the
+noisy streams' embedders run inside the scan.
+
 Stream layouts (B = batch, nf = max faces, ne = max edges/face):
   surfpos: streams (surfPos[B,nf,6])                          -> eps[B,nf,6]
   surfz:   streams (surfZ[B,nf,48], surfPos[B,nf,6])          -> eps[B,nf,48]
@@ -22,7 +27,7 @@ Stream layouts (B = batch, nf = max faces, ne = max edges/face):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,29 +67,65 @@ class DenoiserTransformer(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        # attribute names define the param-tree keys; keep them stable
+        # (checkpoint layout + torch converter depend on them)
+        for name in self.stream_names:
+            setattr(
+                self, f"{name}_embed", MLPEmbedder(self.width, dtype=self.dtype)
+            )
+        self.time_embed = MLPEmbedder(self.width, dtype=self.dtype)
+        if self.use_cf:
+            self.class_embed = nn.Embed(
+                self.num_classes,
+                self.width,
+                dtype=self.dtype,
+                embedding_init=nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            )
+        self.encoder = TransformerEncoder(
+            width=self.width,
+            num_heads=self.num_heads,
+            ffn_width=self.ffn_width,
+            num_layers=self.num_layers,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+        )
+        self.head = MLPEmbedder(self.width, out_dim=self.out_dim, dtype=self.dtype)
+
+    def embed_streams(self, named_streams: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Sum the embedder outputs of the given (sub)set of streams.
+
+        Used by the sampler to precompute the constant conditioning
+        embedding once per stage, outside the denoise scan.
+        """
+        dims = dict(zip(self.stream_names, self.stream_dims))
+        tokens = 0.0
+        for name, s in named_streams.items():
+            assert name in dims, f"unknown stream {name}"
+            assert s.shape[-1] == dims[name], f"stream {name}: {s.shape}"
+            tokens = tokens + getattr(self, f"{name}_embed")(s.astype(self.dtype))
+        return tokens
+
+    def denoise(
         self,
-        streams: Sequence[jnp.ndarray],
+        noisy_streams: Dict[str, jnp.ndarray],
         timesteps: jnp.ndarray,
+        cond_embed: Optional[jnp.ndarray] = None,
         key_padding_mask: Optional[jnp.ndarray] = None,
         class_label: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        assert len(streams) == len(self.stream_dims)
-        B = streams[0].shape[0]
+        example = next(iter(noisy_streams.values()))
+        B = example.shape[0]
 
-        tokens = 0.0
-        for name, dim, s in zip(self.stream_names, self.stream_dims, streams):
-            assert s.shape[-1] == dim, f"stream {name}: {s.shape} != {dim}"
-            tokens = tokens + MLPEmbedder(self.width, dtype=self.dtype, name=f"{name}_embed")(
-                s.astype(self.dtype)
-            )
+        tokens = self.embed_streams(noisy_streams)
+        if cond_embed is not None:
+            tokens = tokens + cond_embed
 
         t = jnp.broadcast_to(jnp.atleast_1d(timesteps), (B,))
-        t_emb = MLPEmbedder(self.width, dtype=self.dtype, name="time_embed")(
-            sincos_embedding(t, self.width).astype(self.dtype)
-        )
+        t_emb = self.time_embed(sincos_embedding(t, self.width).astype(self.dtype))
         tokens = tokens + t_emb[:, None, :]
 
         if self.use_cf:
@@ -95,31 +136,22 @@ class DenoiserTransformer(nn.Module):
                 # network.py:1115-1117) -- explicit rng stream "cfg".
                 u = jax.random.uniform(self.make_rng("cfg"), (B,))
                 label = jnp.where(u <= self.label_dropout, 0, label)
-            c_emb = nn.Embed(
-                self.num_classes,
-                self.width,
-                dtype=self.dtype,
-                embedding_init=nn.initializers.variance_scaling(
-                    2.0, "fan_in", "normal"
-                ),
-                name="class_embed",
-            )(label)
-            tokens = tokens + c_emb[:, None, :]
+            tokens = tokens + self.class_embed(label)[:, None, :]
 
-        out = TransformerEncoder(
-            width=self.width,
-            num_heads=self.num_heads,
-            ffn_width=self.ffn_width,
-            num_layers=self.num_layers,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            attn_impl=self.attn_impl,
-            remat=self.remat,
-            name="encoder",
-        )(tokens, key_padding_mask, deterministic=not train)
+        out = self.encoder(tokens, key_padding_mask, deterministic=not train)
+        return self.head(out).astype(jnp.float32)
 
-        pred = MLPEmbedder(self.width, out_dim=self.out_dim, dtype=self.dtype, name="head")(out)
-        return pred.astype(jnp.float32)
+    def __call__(
+        self,
+        streams: Sequence[jnp.ndarray],
+        timesteps: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        class_label: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        assert len(streams) == len(self.stream_dims)
+        named = dict(zip(self.stream_names, streams))
+        return self.denoise(named, timesteps, None, key_padding_mask, class_label, train)
 
 
 def make_surfpos_net(use_cf: bool = False, **kw) -> DenoiserTransformer:

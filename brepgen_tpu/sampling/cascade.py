@@ -82,26 +82,6 @@ class CascadeConfig:
         )
 
 
-def _cfg_eps(apply_fn, cfg: CascadeConfig):
-    """Wrap a conditional eps fn with classifier-free guidance by batch
-    doubling: pred = cond*(1+w) - uncond*w (``sample.py:132-134``)."""
-
-    def eps(x, t, *cond_streams):
-        B = x.shape[0]
-        if not cfg.use_cf:
-            return apply_fn(x, t, None, *cond_streams)
-        labels = jnp.concatenate(
-            [jnp.full((B, 1), cfg.class_label, jnp.int32), jnp.zeros((B, 1), jnp.int32)]
-        )
-        x2 = jnp.concatenate([x, x], axis=0)
-        cond2 = [jnp.concatenate([c, c], axis=0) for c in cond_streams]
-        pred = apply_fn(x2, t, labels, *cond2)
-        w = cfg.cfg_weight
-        return pred[:B] * (1 + w) - pred[B:] * w
-
-    return eps
-
-
 def build_cascade(
     nets: Dict[str, Any],       # 'surfpos', 'surfz', 'edgepos', 'edgez' modules
     net_params: Dict[str, Any],
@@ -137,43 +117,40 @@ def build_cascade(
     pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
     ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
 
-    def surfpos_apply(x, t, labels):
-        return nets["surfpos"].apply(net_params["surfpos"], (x,), t, None, labels)
-
-    def surfz_apply(x, t, labels, surfpos, mask):
-        return nets["surfz"].apply(net_params["surfz"], (x, surfpos), t, mask, labels)
-
-    def edgepos_apply(x, t, labels, surfpos, surfz, mask):
-        b, nf, k, _ = x.shape
-        pred = nets["edgepos"].apply(
-            net_params["edgepos"],
-            (
-                flatten_face_edge(x),
-                broadcast_face_to_edge(surfpos, k),
-                broadcast_face_to_edge(surfz, k),
-            ),
-            t,
-            jnp.repeat(mask, k, axis=1),
-            labels,
+    def make_stage_eps(stage, noisy_of, cond_named, tok_mask):
+        """Build an eps(x, t) closure with the CONSTANT conditioning
+        streams pre-embedded ONCE (outside the denoise scan) -- only the
+        noisy streams' embedders run per step. Handles CFG batch doubling.
+        """
+        net, params = nets[stage], net_params[stage]
+        labels = None
+        if cfg.use_cf:
+            Bc = next(iter(cond_named.values())).shape[0] if cond_named else B
+            cond_named = {k: jnp.concatenate([v, v]) for k, v in cond_named.items()}
+            if tok_mask is not None:
+                tok_mask = jnp.concatenate([tok_mask, tok_mask])
+            labels = jnp.concatenate(
+                [jnp.full((Bc, 1), cfg.class_label, jnp.int32),
+                 jnp.zeros((Bc, 1), jnp.int32)]
+            )
+        cond_embed = (
+            net.apply(params, cond_named, method="embed_streams")
+            if cond_named else None
         )
-        return pred.reshape(b, nf, k, 6)
 
-    def edgez_apply(x, t, labels, edgepos, surfpos, surfz, mask):
-        b, nf, k, _ = x.shape
-        pred = nets["edgez"].apply(
-            net_params["edgez"],
-            (
-                flatten_face_edge(x[..., :12]),
-                flatten_face_edge(x[..., 12:]),
-                flatten_face_edge(edgepos),
-                broadcast_face_to_edge(surfpos, k),
-                broadcast_face_to_edge(surfz, k),
-            ),
-            t,
-            mask.reshape(b, nf * k),
-            labels,
-        )
-        return pred.reshape(b, nf, k, 18)
+        def eps(x, t):
+            noisy = noisy_of(x)
+            if cfg.use_cf:
+                noisy = {k: jnp.concatenate([v, v]) for k, v in noisy.items()}
+            pred = net.apply(
+                params, noisy, t, cond_embed, tok_mask, labels, method="denoise"
+            )
+            if cfg.use_cf:
+                w = cfg.cfg_weight
+                pred = pred[:B] * (1 + w) - pred[B:] * w
+            return pred
+
+        return eps
 
     # The cascade runs as FIVE independently-jitted stage programs composed
     # in Python. A single monolithic jit is semantically identical but its
@@ -181,16 +158,15 @@ def build_cascade(
     # compilation); per-stage jits keep every tensor device-resident, so
     # the only extra cost is 4 dispatches per generated batch.
 
-    eps1 = _cfg_eps(lambda x, t, lbl: surfpos_apply(x, t, lbl), cfg)
-
     @jax.jit
     def stage_surfpos(key: jax.Array) -> jnp.ndarray:
         k0, k1 = jax.random.split(key)
+        eps1 = make_stage_eps("surfpos", lambda x: {"surfpos": x}, {}, None)
         surfpos = _shard(jax.random.normal(k0, (B, ns0, 6)))
-        surfpos = pndm_scan(lambda x, t: eps1(x, t), surfpos, pndm_pos_plan)
+        surfpos = pndm_scan(eps1, surfpos, pndm_pos_plan)
         if not cfg.use_cf:
             surfpos = jnp.concatenate([surfpos, surfpos], axis=1)  # late increase
-        return ddpm_scan(lambda x, t: eps1(x, t), surfpos, ddpm_plan, k1, cfg.ddpm_clip)
+        return ddpm_scan(eps1, surfpos, ddpm_plan, k1, cfg.ddpm_clip)
 
     @jax.jit
     def stage_surfz(key: jax.Array, surfpos: jnp.ndarray):
@@ -199,14 +175,9 @@ def build_cascade(
         surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
 
         surfz = _shard(jax.random.normal(key, (B, ns, 48)))
-        eps2 = _cfg_eps(lambda x, t, lbl, sp, m: surfz_apply(x, t, lbl, sp, m), cfg)
-
-        def surfz_eps(x, t):
-            if cfg.use_cf:
-                # masks double with the batch inside _cfg_eps via cond streams
-                return eps2(x, t, surfpos, surf_mask)
-            return surfz_apply(x, t, None, surfpos, surf_mask)
-
+        surfz_eps = make_stage_eps(
+            "surfz", lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
+        )
         surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
         return surfpos, surf_mask, surf_keep, surfz
 
@@ -215,14 +186,18 @@ def build_cascade(
         edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
         k_noise = jax.random.fold_in(key, 1)
 
+        raw_eps = make_stage_eps(
+            "edgepos",
+            lambda x: {"edgepos": x},
+            {
+                "surfpos": broadcast_face_to_edge(surfpos, ne),
+                "surfz": broadcast_face_to_edge(surfz, ne),
+            },
+            jnp.repeat(surf_mask, ne, axis=1),
+        )
+
         def edgepos_eps(x, t):
-            if cfg.use_cf:
-                e = _cfg_eps(
-                    lambda xx, tt, lbl, sp, sz, m: edgepos_apply(xx, tt, lbl, sp, sz, m),
-                    cfg,
-                )
-                return e(x, t, surfpos, surfz, surf_mask)
-            return edgepos_apply(x, t, None, surfpos, surfz, surf_mask)
+            return raw_eps(flatten_face_edge(x), t).reshape(B, ns, ne, 6)
 
         edgepos = pndm_scan(edgepos_eps, edgepos, pndm_pos_plan)
         return ddpm_scan(edgepos_eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
@@ -234,14 +209,20 @@ def build_cascade(
 
         edgezv = _shard(jax.random.normal(key, (B, ns, ne, 18)))
 
+        raw_eps = make_stage_eps(
+            "edgez",
+            lambda x: {"edgez": x[..., :12], "vertpos": x[..., 12:]},
+            {
+                "edgepos": flatten_face_edge(edgepos),
+                "surfpos": broadcast_face_to_edge(surfpos, ne),
+                "surfz": broadcast_face_to_edge(surfz, ne),
+            },
+            edge_mask.reshape(B, ns * ne),
+        )
+
         def edgez_eps(x, t):
-            if cfg.use_cf:
-                e = _cfg_eps(
-                    lambda xx, tt, lbl, ep, sp, sz, m: edgez_apply(xx, tt, lbl, ep, sp, sz, m),
-                    cfg,
-                )
-                return e(x, t, edgepos, surfpos, surfz, edge_mask)
-            return edgez_apply(x, t, None, edgepos, surfpos, surfz, edge_mask)
+            flat = x.reshape(B, ns * ne, 18)
+            return raw_eps(flat, t).reshape(B, ns, ne, 18)
 
         edgezv = pndm_scan(edgez_eps, edgezv, pndm_full_plan)
         edgezv = jnp.where(edge_mask[..., None], 0.0, edgezv)
