@@ -157,6 +157,7 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
     pool = ThreadPoolExecutor(workers)
     pending = []
     timer = StageTimer()
+    failures = {}
     while True:
         key, sub = jax.random.split(key)
         with timer.stage("device_cascade"):
@@ -175,14 +176,23 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
         for f in done:
             name, err = f.result()
             produced += name is not None
+            if err:
+                key_ = err.split(":")[0]
+                failures[key_] = failures.get(key_, 0) + 1
         pending = still
         if (num_samples and produced >= num_samples) or (max_batches and batches >= max_batches):
             break
     for f in pending:
         name, err = f.result()
         produced += name is not None
+        if err:
+            key_ = err.split(":")[0]
+            failures[key_] = failures.get(key_, 0) + 1
     pool.shutdown()
-    print(f"produced {produced} valid B-reps from {batches} batches")
+    total_attempted = batches * config.batch_size
+    print(f"produced {produced}/{total_attempted} valid B-reps from {batches} batches")
+    if failures:
+        print("failure breakdown:", failures)
     print(timer.report())
     return produced
 
