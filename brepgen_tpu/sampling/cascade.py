@@ -117,12 +117,16 @@ def build_cascade(
     pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
     ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
 
-    def make_stage_eps(stage, noisy_of, cond_named, tok_mask):
+    def make_stage_eps(stage, params, noisy_of, cond_named, tok_mask):
         """Build an eps(x, t) closure with the CONSTANT conditioning
         streams pre-embedded ONCE (outside the denoise scan) -- only the
         noisy streams' embedders run per step. Handles CFG batch doubling.
+
+        ``params`` flows in as a traced jit argument (never a closure
+        constant: captured constants are serialized into the compile
+        payload, which breaks remote compilation for 50M-param models).
         """
-        net, params = nets[stage], net_params[stage]
+        net = nets[stage]
         labels = None
         if cfg.use_cf:
             Bc = next(iter(cond_named.values())).shape[0] if cond_named else B
@@ -159,9 +163,9 @@ def build_cascade(
     # the only extra cost is 4 dispatches per generated batch.
 
     @jax.jit
-    def stage_surfpos(key: jax.Array) -> jnp.ndarray:
+    def stage_surfpos(params, key: jax.Array) -> jnp.ndarray:
         k0, k1 = jax.random.split(key)
-        eps1 = make_stage_eps("surfpos", lambda x: {"surfpos": x}, {}, None)
+        eps1 = make_stage_eps("surfpos", params, lambda x: {"surfpos": x}, {}, None)
         surfpos = _shard(jax.random.normal(k0, (B, ns0, 6)))
         surfpos = pndm_scan(eps1, surfpos, pndm_pos_plan)
         if not cfg.use_cf:
@@ -169,25 +173,26 @@ def build_cascade(
         return ddpm_scan(eps1, surfpos, ddpm_plan, k1, cfg.ddpm_clip)
 
     @jax.jit
-    def stage_surfz(key: jax.Array, surfpos: jnp.ndarray):
+    def stage_surfz(params, key: jax.Array, surfpos: jnp.ndarray):
         surf_keep = dedup_bboxes(surfpos, cfg.bbox_threshold)   # True = keep
         surf_mask = ~surf_keep                                   # True = pad
         surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
 
         surfz = _shard(jax.random.normal(key, (B, ns, 48)))
         surfz_eps = make_stage_eps(
-            "surfz", lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
+            "surfz", params, lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
         )
         surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
         return surfpos, surf_mask, surf_keep, surfz
 
     @jax.jit
-    def stage_edgepos(key: jax.Array, surfpos, surfz, surf_mask):
+    def stage_edgepos(params, key: jax.Array, surfpos, surfz, surf_mask):
         edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
         k_noise = jax.random.fold_in(key, 1)
 
         raw_eps = make_stage_eps(
             "edgepos",
+            params,
             lambda x: {"edgepos": x},
             {
                 "surfpos": broadcast_face_to_edge(surfpos, ne),
@@ -203,7 +208,7 @@ def build_cascade(
         return ddpm_scan(edgepos_eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
 
     @jax.jit
-    def stage_edgez(key: jax.Array, edgepos, surfpos, surfz, surf_keep):
+    def stage_edgez(params, key: jax.Array, edgepos, surfpos, surfz, surf_keep):
         edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
         edge_mask = ~edge_keep
 
@@ -211,6 +216,7 @@ def build_cascade(
 
         raw_eps = make_stage_eps(
             "edgez",
+            params,
             lambda x: {"edgez": x[..., :12], "vertpos": x[..., 12:]},
             {
                 "edgepos": flatten_face_edge(edgepos),
@@ -229,23 +235,27 @@ def build_cascade(
         return edge_mask, edgezv
 
     @jax.jit
-    def stage_decode(surfz, edgezv):
+    def stage_decode(sp, ep, surfz, edgezv):
         edge_z = edgezv[..., :12]
         surf_ncs = surf_decode(
-            surf_vae_params, surfz.reshape(B * ns, 4, 4, 3)
+            sp, surfz.reshape(B * ns, 4, 4, 3)
         ).reshape(B, ns, 32, 32, 3)
         edge_ncs = edge_decode(
-            edge_vae_params, edge_z.reshape(B * ns * ne, 4, 3)
+            ep, edge_z.reshape(B * ns * ne, 4, 3)
         ).reshape(B, ns, ne, 32, 3)
         return surf_ncs, edge_ncs
 
     def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
         keys = jax.random.split(key, 8)
-        surfpos = stage_surfpos(keys[0])
-        surfpos, surf_mask, surf_keep, surfz = stage_surfz(keys[2], surfpos)
-        edgepos = stage_edgepos(keys[3], surfpos, surfz, surf_mask)
-        edge_mask, edgezv = stage_edgez(keys[5], edgepos, surfpos, surfz, surf_keep)
-        surf_ncs, edge_ncs = stage_decode(surfz, edgezv)
+        surfpos = stage_surfpos(net_params["surfpos"], keys[0])
+        surfpos, surf_mask, surf_keep, surfz = stage_surfz(
+            net_params["surfz"], keys[2], surfpos)
+        edgepos = stage_edgepos(
+            net_params["edgepos"], keys[3], surfpos, surfz, surf_mask)
+        edge_mask, edgezv = stage_edgez(
+            net_params["edgez"], keys[5], edgepos, surfpos, surfz, surf_keep)
+        surf_ncs, edge_ncs = stage_decode(
+            surf_vae_params, edge_vae_params, surfz, edgezv)
         return {
             "surf_pos": surfpos / cfg.bbox_scaled,
             "surf_mask": surf_mask,
