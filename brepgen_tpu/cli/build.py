@@ -8,7 +8,6 @@ import pickle
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from brepgen_tpu.nn import (
     EdgeVAE,

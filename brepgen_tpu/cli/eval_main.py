@@ -39,7 +39,6 @@ def pc_metric_main(argv=None):
 
 def dedup_main(argv=None):
     """Deduplicate parsed solids / primitives (reference deduplicate_*.py)."""
-    import math
     import os
     import pickle
 

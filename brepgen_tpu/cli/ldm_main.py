@@ -8,7 +8,6 @@ import pickle
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from brepgen_tpu.cli.build import build_denoiser, build_vae, resolve_samples
 from brepgen_tpu.nn import EdgeVAE, SurfVAE

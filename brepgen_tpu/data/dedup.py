@@ -9,7 +9,7 @@ arrays for VAE training). ``real2bit`` matches ``convert_utils.py:32-37``.
 from __future__ import annotations
 
 from hashlib import sha256
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Iterable, List
 
 import numpy as np
 

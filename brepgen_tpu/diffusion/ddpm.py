@@ -14,7 +14,6 @@ scalars are scan inputs rather than recomputed gathers.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax

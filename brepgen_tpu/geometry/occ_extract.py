@@ -21,7 +21,6 @@ import numpy as np
 from occwl.io import load_step
 from occwl.uvgrid import ugrid, uvgrid
 from occwl.entity_mapper import EntityMapper
-from occwl.solid import Solid
 
 from brepgen_tpu.data.schema import build_brep_sample
 

@@ -25,7 +25,6 @@ parallel across CAD solids).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

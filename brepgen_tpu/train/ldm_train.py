@@ -18,7 +18,6 @@ Batch convention: dict of numpy/jax arrays with keys (per stage)
 
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from brepgen_tpu.train.checkpoint import save_checkpoint, save_params
 from brepgen_tpu.train.common import TrainState

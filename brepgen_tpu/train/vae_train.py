@@ -9,7 +9,6 @@ gives us directly).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
