@@ -86,7 +86,20 @@ def extract_primitive(solid):
 
 
 def process_one(args):
+    """Extract one STEP file; returns 1 on success, 0 on failure/timeout.
+
+    A SIGALRM watchdog bounds each item (the reference isolates shards with
+    ``timeout``+``pkill``, ``process.sh:10-11``; per-item alarms are finer).
+    """
+    import signal
+
     step_path, out_dir = args
+
+    def _timeout(signum, frame):
+        raise TimeoutError(step_path)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(300)
     try:
         loaded = load_step(step_path)
         if len(loaded) != 1:
@@ -109,6 +122,8 @@ def process_one(args):
         return 1
     except Exception:
         return 0
+    finally:
+        signal.alarm(0)
 
 
 def process_step_dir(in_dir: str, out_dir: str, option: str = "abc") -> int:

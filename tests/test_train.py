@@ -150,3 +150,32 @@ def test_checkpoint_roundtrip(tmp_path):
         restored.params,
     )
     assert int(restored.step) == 0
+
+
+def test_run_training_loop(tmp_path):
+    """The generic epoch loop driver trains, validates, and checkpoints."""
+    import os
+
+    from brepgen_tpu.train.loop import run_training
+    from brepgen_tpu.train.logging import MetricsLogger
+    from brepgen_tpu.diffusion import make_ddpm_tables
+
+    model = make_surfpos_net(**SMALL)
+    x = jnp.zeros((4, 6, 6))
+    params = model.init(KEY, (x,), jnp.zeros((4,), jnp.int32))
+    opt = make_ldm_optimizer()
+    state = init_state(params, opt)
+    tables = make_ddpm_tables()
+    step = ldm_train.make_surfpos_step(model, opt, tables)
+
+    batches = [{"surfpos": jax.random.normal(KEY, (4, 6, 6))}]
+    logger = MetricsLogger(str(tmp_path), "t")
+    state = run_training(
+        step, lambda: iter(batches), state,
+        epochs=2, rng=KEY, logger=logger, ckpt_dir=str(tmp_path),
+        val_fn=lambda s: {"val": 0.0}, test_nepoch=1, save_nepoch=1,
+    )
+    assert int(state.step) == 2
+    assert os.path.isdir(tmp_path / "epoch_2")
+    assert os.path.isdir(tmp_path / "latest")
+    assert os.path.exists(tmp_path / "t.jsonl")
