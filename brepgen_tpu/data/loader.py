@@ -100,3 +100,29 @@ def flat_vae_batcher(
             yield batch
 
     return gen
+
+
+def prefetch_to_device(iterator, lookahead: int = 2, sharding=None):
+    """Wrap a host batch iterator with device-transfer lookahead.
+
+    Keeps ``lookahead`` batches in flight on device while the train step
+    consumes the current one (the torch-DataLoader-worker analog; transfers
+    overlap compute because device_put is async).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > lookahead:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -136,3 +136,17 @@ def test_surf_uv_aug_stays_normalized(cuboid):
     for _ in range(4):
         uv = assemble_surf_uv(cuboid, rng, aug=True)
         assert np.abs(uv).max() <= 1.0 + 1e-4
+
+
+def test_prefetch_to_device(cuboid):
+    import jax
+
+    from brepgen_tpu.data.loader import prefetch_to_device
+
+    batches = [
+        {"x": np.ones((2, 3)) * i} for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), lookahead=2))
+    assert len(out) == 5
+    assert isinstance(out[0]["x"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(out[3]["x"]), batches[3]["x"])
