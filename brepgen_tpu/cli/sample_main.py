@@ -209,6 +209,8 @@ def main(argv=None):
     p.add_argument("--pndm_steps", type=int, default=None)
     p.add_argument("--pos_pndm_calls", type=int, default=None)
     p.add_argument("--ddpm_tail", type=int, default=None)
+    p.add_argument("--fast_steps", type=int, default=None,
+                   help="N-step DDIM per stage instead of the full protocol")
     args = p.parse_args(argv)
 
     cfg_path = args.config or os.path.abspath(DEFAULT_CONFIG)
@@ -217,7 +219,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     overrides = {
         k: getattr(args, k)
-        for k in ("pndm_steps", "pos_pndm_calls", "ddpm_tail")
+        for k in ("pndm_steps", "pos_pndm_calls", "ddpm_tail", "fast_steps")
         if getattr(args, k) is not None
     }
     sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,

@@ -6,6 +6,7 @@ from brepgen_tpu.diffusion.ddpm import (
     make_ddpm_plan,
     ddpm_scan,
 )
+from brepgen_tpu.diffusion.ddim import make_ddim_plan, ddim_scan, DDIMStepCoeffs
 from brepgen_tpu.diffusion.pndm import (
     make_pndm_plan,
     pndm_scan,
@@ -19,6 +20,9 @@ __all__ = [
     "ddpm_step",
     "make_ddpm_plan",
     "ddpm_scan",
+    "make_ddim_plan",
+    "ddim_scan",
+    "DDIMStepCoeffs",
     "make_pndm_plan",
     "pndm_scan",
     "PNDMPlan",

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from brepgen_tpu.diffusion import (
+    ddim_scan,
     ddpm_scan,
+    make_ddim_plan,
     make_ddpm_plan,
     make_pndm_plan,
     pndm_scan,
@@ -68,6 +70,8 @@ class CascadeConfig:
     pos_pndm_calls: int = 158
     ddpm_tail: int = 250
     ddpm_clip: float = 3.0
+    # fast mode: replace the PNDM+DDPM protocol with N-step DDIM per stage
+    fast_steps: int = 0
 
     @classmethod
     def for_mode(cls, mode: str, batch_size: int = 16, class_label: str = "uncond"):
@@ -112,9 +116,24 @@ def build_cascade(
     ns = ns0 if cfg.use_cf else 2 * ns0
     ne = cfg.num_edges
 
-    pndm_pos_plan = make_pndm_plan(cfg.pndm_steps, max_calls=cfg.pos_pndm_calls)
-    pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
-    ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
+    fast = cfg.fast_steps > 0
+    if fast:
+        ddim_plan = make_ddim_plan(cfg.fast_steps)
+        # surfpos late-increase split, computed statically at build time
+        _n_hi = max(cfg.fast_steps * 3 // 4, 1)
+        ddim_plan_hi = jax.tree.map(lambda a: a[:_n_hi], ddim_plan)
+        _t_resume = int(ddim_plan_hi.t[-1])
+        ddpm_tail_plan = make_ddpm_plan(num_steps=max(_t_resume, 1))
+    else:
+        pndm_pos_plan = make_pndm_plan(cfg.pndm_steps, max_calls=cfg.pos_pndm_calls)
+        pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
+        ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
+
+    def run_full_schedule(eps_fn, x):
+        """Latent stages: the full 209-call PNDM schedule, or N-step DDIM."""
+        if fast:
+            return ddim_scan(eps_fn, x, ddim_plan)
+        return pndm_scan(eps_fn, x, pndm_full_plan)
 
     def make_stage_eps(stage, params, noisy_of, cond_named, tok_mask):
         """Build an eps(x, t) closure with the CONSTANT conditioning
@@ -166,6 +185,14 @@ def build_cascade(
         k0, k1 = jax.random.split(key)
         eps1 = make_stage_eps("surfpos", params, lambda x: {"surfpos": x}, {}, None)
         surfpos = _shard(jax.random.normal(k0, (B, ns0, 6)))
+        if fast:
+            # run DDIM down to an intermediate t, duplicate the set (late
+            # increase), then finish with a stochastic DDPM tail for
+            # diversity between the duplicated halves
+            surfpos = ddim_scan(eps1, surfpos, ddim_plan_hi, clip_range=cfg.ddpm_clip)
+            if not cfg.use_cf:
+                surfpos = jnp.concatenate([surfpos, surfpos], axis=1)
+            return ddpm_scan(eps1, surfpos, ddpm_tail_plan, k1, cfg.ddpm_clip)
         surfpos = pndm_scan(eps1, surfpos, pndm_pos_plan)
         if not cfg.use_cf:
             surfpos = jnp.concatenate([surfpos, surfpos], axis=1)  # late increase
@@ -181,7 +208,7 @@ def build_cascade(
         surfz_eps = make_stage_eps(
             "surfz", params, lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
         )
-        surfz = pndm_scan(surfz_eps, surfz, pndm_full_plan)
+        surfz = run_full_schedule(surfz_eps, surfz)
         return surfpos, surf_mask, surf_keep, surfz
 
     @jax.jit
@@ -203,6 +230,8 @@ def build_cascade(
         def edgepos_eps(x, t):
             return raw_eps(flatten_face_edge(x), t).reshape(B, ns, ne, 6)
 
+        if fast:
+            return ddim_scan(edgepos_eps, edgepos, ddim_plan, clip_range=cfg.ddpm_clip)
         edgepos = pndm_scan(edgepos_eps, edgepos, pndm_pos_plan)
         return ddpm_scan(edgepos_eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
 
@@ -229,7 +258,7 @@ def build_cascade(
             flat = x.reshape(B, ns * ne, 18)
             return raw_eps(flat, t).reshape(B, ns, ne, 18)
 
-        edgezv = pndm_scan(edgez_eps, edgezv, pndm_full_plan)
+        edgezv = run_full_schedule(edgez_eps, edgezv)
         edgezv = jnp.where(edge_mask[..., None], 0.0, edgezv)
         return edge_mask, edgezv
 

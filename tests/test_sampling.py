@@ -67,7 +67,7 @@ def test_edge_dedup_respects_face_mask():
     assert keep[0, 0, 0] and keep[0, 2, 0]  # first edge of valid faces kept
 
 
-def _build_tiny_cascade(use_cf=False, mesh=None, batch_size=2):
+def _build_tiny_cascade_with(use_cf=False, mesh=None, batch_size=2, fast_steps=0):
     nets = {
         "surfpos": make_surfpos_net(use_cf=use_cf, **SMALL),
         "surfz": make_surfz_net(use_cf=use_cf, **SMALL),
@@ -83,6 +83,7 @@ def _build_tiny_cascade(use_cf=False, mesh=None, batch_size=2):
         pndm_steps=10,
         pos_pndm_calls=8,
         ddpm_tail=5,
+        fast_steps=fast_steps,
     )
     B, ns0, ne = cfg.batch_size, cfg.num_surfaces, cfg.num_edges
     label = jnp.zeros((B, 1), jnp.int32) if use_cf else None
@@ -154,3 +155,7 @@ def test_cascade_cfg_end_to_end():
     B, ns, ne = cfg.batch_size, cfg.num_surfaces, cfg.num_edges  # no late increase
     assert out["surf_pos"].shape == (B, ns, 6)
     assert np.isfinite(np.asarray(out["edge_v"])).all()
+
+
+def _build_tiny_cascade(use_cf=False, mesh=None, batch_size=2):
+    return _build_tiny_cascade_with(use_cf=use_cf, mesh=mesh, batch_size=batch_size)
