@@ -48,6 +48,7 @@ P.add_argument("--out", type=str, default="demo_out")
 P.add_argument("--max_face", type=int, default=10)
 P.add_argument("--max_edge", type=int, default=8)
 P.add_argument("--sample_batches", type=int, default=4)
+P.add_argument("--family", type=str, default="all", choices=["all", "cuboid"])
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
@@ -59,7 +60,13 @@ key = jax.random.PRNGKey(0)
 t_start = time.time()
 
 print("== generating synthetic dataset ==", flush=True)
-ds = make_dataset(args.solids, seed=0)
+if args.family == "cuboid":
+    from brepgen_tpu.data.synthetic import make_cuboid
+
+    rng0 = np.random.default_rng(0)
+    ds = [make_cuboid(*rng0.uniform(0.4, 2.0, 3), uid=f"c{i}") for i in range(args.solids)]
+else:
+    ds = make_dataset(args.solids, seed=0)
 ds = [d for d in ds if filter_sample(d, NF, NE, 3.0, 0.05)]
 print(f"{len(ds)} solids after filtering")
 summary["n_solids"] = len(ds)
@@ -174,6 +181,16 @@ net_params["edgez"] = train_stage(
         nets["edgez"], opt, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params),
     args.edge_steps)
 
+from brepgen_tpu.train.checkpoint import save_params
+
+ckpt_dir = os.path.abspath(os.path.join(args.out, "ckpt"))
+os.makedirs(ckpt_dir, exist_ok=True)
+save_params(ckpt_dir, surf_vae_params, "surf_vae")
+save_params(ckpt_dir, edge_vae_params, "edge_vae")
+for k, v in net_params.items():
+    save_params(ckpt_dir, v, k)
+print("checkpoints saved to", ckpt_dir, flush=True)
+
 print("== sampling ==", flush=True)
 cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE)
 cascade = build_cascade(
@@ -190,9 +207,17 @@ save_dir = os.path.join(args.out, "samples")
 os.makedirs(save_dir, exist_ok=True)
 produced, attempted = 0, 0
 failures = {}
+error_samples = []
+dedup_counts = []
 for bi in range(args.sample_batches):
     out = cascade(jax.random.PRNGKey(5000 + bi))
     sample_np = {k: np.asarray(v) for k, v in out.items()}
+    dedup_counts += list((~sample_np["surf_mask"]).sum(1))
+    if bi == 0:
+        from brepgen_tpu.utils.viz import plot_sample
+
+        for b in range(min(4, cfg.batch_size)):
+            plot_sample(sample_np, b, os.path.join(args.out, f"gen_bbox_{b}.png"))
     for b in range(cfg.batch_size):
         attempted += 1
         name, err = process_one(sample_np, b, surf_dec, edge_dec, cfg.z_threshold, save_dir)
@@ -201,6 +226,10 @@ for bi in range(args.sample_batches):
         else:
             k_ = err.split(":")[0]
             failures[k_] = failures.get(k_, 0) + 1
+            if len(error_samples) < 8:
+                error_samples.append(err[:200])
+summary["valid_face_counts"] = [int(c) for c in dedup_counts[:32]]
+summary["error_samples"] = error_samples
 
 summary["attempted"] = attempted
 summary["valid_breps"] = produced
