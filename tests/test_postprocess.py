@@ -129,3 +129,37 @@ def test_mismatched_latents_rejected():
     sample["edge_z"] = rng.normal(size=sample["edge_z"].shape)  # destroy pairing
     with pytest.raises(PostprocessError):
         postprocess_single(sample, 0, surf_decode, edge_decode)
+
+
+def test_scattered_masks_roundtrip():
+    """The real cascade leaves valid faces/edges scattered among masked
+    slots (in-place dedup); postprocess must handle non-contiguous masks."""
+    data = make_cuboid()
+    sample, surf_decode, edge_decode = cascade_arrays_from_sample(data)
+
+    nf = len(data["surf_ncs"])
+    ns = nf + 4  # add 4 masked face slots interleaved
+    rng = np.random.default_rng(0)
+    order = rng.permutation(ns)
+
+    def scatter(arr, fill=0.0):
+        out = np.full((1, ns) + arr.shape[2:], fill, arr.dtype)
+        out[0, order[:nf]] = arr[0]
+        return out
+
+    scattered = {
+        "surf_mask": np.ones((1, ns), bool),
+        "surf_pos": scatter(sample["surf_pos"]),
+        "surf_z": scatter(sample["surf_z"]),
+        "edge_mask": scatter(sample["edge_mask"], fill=True),
+        "edge_pos": scatter(sample["edge_pos"]),
+        "edge_ncs": scatter(sample["edge_ncs"]),
+        "edge_v": scatter(sample["edge_v"]),
+        "edge_z": scatter(sample["edge_z"]),
+    }
+    scattered["surf_mask"][0, order[:nf]] = False
+    # also scatter each face's edges among extra masked edge slots
+    rec = postprocess_single(scattered, 0, surf_decode, edge_decode)
+    assert len(rec.surf_wcs) == nf
+    assert len(rec.edge_wcs) == len(data["edge_wcs"])
+    assert len(rec.unique_vertices) == len(data["corner_unique"])
