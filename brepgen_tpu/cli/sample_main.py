@@ -93,10 +93,15 @@ def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides
     surf_decode = make_decoder_fn(surf_vae)
     edge_decode = make_decoder_fn(edge_vae)
     mesh = None
-    if len(jax.devices()) > 1:
-        from brepgen_tpu.parallel.mesh import make_mesh
+    n_dev = len(jax.devices())
+    if n_dev > 1 and config.batch_size % n_dev == 0:
+        from brepgen_tpu.parallel.mesh import make_mesh, replicate
 
-        mesh = make_mesh((len(jax.devices()), 1))
+        mesh = make_mesh((n_dev, 1))
+        # loaded checkpoints live on one device; replicate across the mesh
+        params = replicate(params, mesh)
+        sp = replicate(sp, mesh)
+        ep = replicate(ep, mesh)
     cascade = build_cascade(nets, params, surf_decode, sp, edge_decode, ep, config,
                             mesh=mesh)
     host_surf_decode = make_padded_decoder(surf_decode, sp, (4, 4, 3))
