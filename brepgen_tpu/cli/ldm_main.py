@@ -61,6 +61,8 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--dp", action="store_true",
+                   help="shard the batch over all devices (data parallel)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <save_dir>/latest if present")
     p.add_argument("--seed", type=int, default=0)
@@ -205,6 +207,24 @@ def main(argv=None):
     val_batcher = Batcher(val_samples, assemble, min(args.batch_size, max(len(val_samples), 1)),
                           seed=args.seed, class_labels=val_labels, drop_last=False)
 
+    # optional data parallelism over every visible device (the TPU-native
+    # replacement for the reference's nn.DataParallel, SURVEY.md section 2.3)
+    mesh = None
+    if args.dp and len(jax.devices()) > 1 and args.batch_size % len(jax.devices()) == 0:
+        from brepgen_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh((len(jax.devices()), 1))
+        state = state._replace(
+            params=replicate(state.params, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+        )
+        if surf_vae_params is not None:
+            surf_vae_params = replicate(surf_vae_params, mesh)
+        if edge_vae_params is not None:
+            edge_vae_params = replicate(edge_vae_params, mesh)
+        _batch_sharding = batch_sharding(mesh)
+        print(f"data parallel over {len(jax.devices())} devices")
+
     logger = MetricsLogger(args.save_dir, args.env)
     jrng = jax.random.PRNGKey(args.seed + 2)
     val_steps = (10, 50, 100, 200, 500) if args.option in ("surfpos", "surfz") else (10, 50, 100)
@@ -213,6 +233,8 @@ def main(argv=None):
     for epoch in range(1, args.train_nepoch + 1):
         for raw in batcher:
             batch = to_batch(args, raw)
+            if mesh is not None:
+                batch = {k: jax.device_put(v, _batch_sharding) for k, v in batch.items()}
             jrng, sub = jax.random.split(jrng)
             state, m = step_fn(state, batch, sub)
             if step % 10 == 0:

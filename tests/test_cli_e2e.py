@@ -108,3 +108,18 @@ def test_vae_and_ldm_and_sample(workdir):
     )
     assert produced >= 0  # pipeline ran end to end; validity needs training
     assert os.path.isdir(workdir / "samples")
+
+
+def test_ldm_dp_flag(workdir, tmp_path):
+    """Data-parallel training path over the 8 virtual devices."""
+    from brepgen_tpu.cli import ldm_main
+
+    ldm_main.main([
+        "--synthetic", "10", "--small", "--batch_size", "8",
+        "--train_nepoch", "1", "--test_nepoch", "5", "--save_nepoch", "1",
+        "--max_face", "10", "--max_edge", "8", "--num_workers", "0",
+        "--dir_name", str(tmp_path), "--option", "surfpos", "--env", "dp", "--dp",
+    ])
+    import os
+
+    assert os.path.isdir(str(tmp_path / "dp" / "epoch_1"))
