@@ -41,8 +41,12 @@ from brepgen_tpu.train.vae_train import make_decoder_fn, make_encoder_fn
 P = argparse.ArgumentParser()
 P.add_argument("--solids", type=int, default=400)
 P.add_argument("--vae_steps", type=int, default=1500)
+P.add_argument("--surfpos_steps", type=int, default=3000)
 P.add_argument("--pos_steps", type=int, default=3000)
 P.add_argument("--edge_steps", type=int, default=3000)
+P.add_argument("--pool", type=int, default=256,
+               help="pre-assembled batches per stage (removes the host "
+                    "assembly bottleneck from the step loop)")
 P.add_argument("--batch", type=int, default=64)
 P.add_argument("--out", type=str, default="demo_out")
 P.add_argument("--max_face", type=int, default=10)
@@ -132,6 +136,13 @@ def make_batch(stage, bs):
             "vertpos": jnp.asarray(np.stack([x[5] for x in items]))}
 
 
+def make_pool(stage, n_batches):
+    """Pre-assemble a pool of device-resident batches; the step loop then
+    only samples pool indices (host assembly off the critical path)."""
+    print(f"[{stage}] assembling {n_batches}-batch pool...", flush=True)
+    return [make_batch(stage, args.batch) for _ in range(n_batches)]
+
+
 def train_stage(stage, net, step_fn, steps):
     b0 = make_batch(stage, 2)
     S = NF * NE
@@ -144,13 +155,16 @@ def train_stage(stage, net, step_fn, steps):
     params = net.init(key, tuple(jnp.zeros(s) for s in shapes), jnp.zeros((2,), jnp.int32))
     opt = make_ldm_optimizer()
     state = init_state(params, opt)
+    pool = make_pool(stage, args.pool)
     last = None
+    t0 = time.time()
     for i in range(steps):
-        batch = make_batch(stage, args.batch)
+        batch = pool[int(rng.integers(len(pool)))]
         state, m = step_fn(state, batch, jax.random.PRNGKey(1000 + i))
-        if i % 300 == 0 or i == steps - 1:
+        if i % 1000 == 0 or i == steps - 1:
             last = float(m["loss"])
-            print(f"[{stage}] step {i}: loss {last:.4f}", flush=True)
+            print(f"[{stage}] step {i}: loss {last:.4f} "
+                  f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
     summary[f"{stage}_final_loss"] = last
     return state.params
 
@@ -166,7 +180,7 @@ net_params = {}
 print("== training denoisers ==", flush=True)
 net_params["surfpos"] = train_stage(
     "surfpos", nets["surfpos"],
-    ldm_train.make_surfpos_step(nets["surfpos"], opt, tables), args.pos_steps)
+    ldm_train.make_surfpos_step(nets["surfpos"], opt, tables), args.surfpos_steps)
 net_params["surfz"] = train_stage(
     "surfz", nets["surfz"],
     ldm_train.make_surfz_step(nets["surfz"], opt, tables, surf_enc, surf_vae_params),
@@ -213,6 +227,12 @@ for bi in range(args.sample_batches):
     out = cascade(jax.random.PRNGKey(5000 + bi))
     sample_np = {k: np.asarray(v) for k, v in out.items()}
     dedup_counts += list((~sample_np["surf_mask"]).sum(1))
+    if bi == 0:
+        from brepgen_tpu.sampling.dedup import dedup_bboxes
+
+        loose = np.asarray(dedup_bboxes(
+            jnp.asarray(sample_np["surf_pos"] * 3.0), 0.3))
+        summary["valid_face_counts_loose_thr"] = [int(c) for c in loose.sum(1)]
     if bi == 0:
         from brepgen_tpu.utils.viz import plot_sample
 
