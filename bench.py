@@ -61,7 +61,7 @@ def main():
 
     # --- surf stage (60-token set) ---
     attn = "pallas" if on_tpu else "xla"
-    surf_net = make_surfpos_net(dtype=dtype, attn_impl=attn)
+    surf_net = make_surfpos_net(dtype=dtype, attn_impl="xla")  # short seqs
     x_s = jax.random.normal(key, (B, NS, 6))
     t = jnp.full((B,), 500, jnp.int32)
     p_s = surf_net.init(key, (x_s,), t)

@@ -59,10 +59,15 @@ def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides
     use_cf = bool(eval_args["use_cf"])
     key = jax.random.PRNGKey(0)
     arch_kw = dict(width=32, num_heads=2, ffn_width=64, num_layers=1) if small else {}
+    on_tpu = jax.default_backend() not in ("cpu",)
 
     nets, params = {}, {}
     for stage in ("surfpos", "surfz", "edgepos", "edgez"):
-        net = build_denoiser(stage, use_cf=use_cf, dtype=dtype, **arch_kw)
+        # fused Pallas attention pays off on the long edge-stage sequences;
+        # the ~100-token surf stages are faster through plain XLA
+        attn = "pallas" if (on_tpu and stage.startswith("edge")) else "xla"
+        net = build_denoiser(stage, use_cf=use_cf, dtype=dtype, attn_impl=attn,
+                             **arch_kw)
         nets[stage] = net
         template = _init_template(net, stage, use_cf, key)
         params[stage] = load_params(eval_args[f"{stage}_weight"], template)
