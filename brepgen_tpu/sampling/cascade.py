@@ -264,13 +264,23 @@ def build_cascade(
 
     @jax.jit
     def stage_decode(sp, ep, surfz, edgezv):
+        # decode in bounded chunks: ABC-size batches have B*ns*ne = 64k edge
+        # curves; one monolithic decode overflows HBM with conv activations
         edge_z = edgezv[..., :12]
-        surf_ncs = surf_decode(
-            sp, surfz.reshape(B * ns, 4, 4, 3)
-        ).reshape(B, ns, 32, 32, 3)
-        edge_ncs = edge_decode(
-            ep, edge_z.reshape(B * ns * ne, 4, 3)
-        ).reshape(B, ns, ne, 32, 3)
+
+        def chunked(decode, params, z, chunk):
+            n = z.shape[0]
+            n_pad = -(-n // chunk) * chunk
+            z = jnp.pad(z, ((0, n_pad - n),) + ((0, 0),) * (z.ndim - 1))
+            out = jax.lax.map(
+                lambda zc: decode(params, zc), z.reshape((n_pad // chunk, chunk) + z.shape[1:])
+            )
+            return out.reshape((n_pad,) + out.shape[2:])[:n]
+
+        surf_ncs = chunked(surf_decode, sp, surfz.reshape(B * ns, 4, 4, 3),
+                           min(1024, B * ns)).reshape(B, ns, 32, 32, 3)
+        edge_ncs = chunked(edge_decode, ep, edge_z.reshape(B * ns * ne, 4, 3),
+                           min(8192, B * ns * ne)).reshape(B, ns, ne, 32, 3)
         return surf_ncs, edge_ncs
 
     def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
