@@ -61,11 +61,18 @@ def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides
     arch_kw = dict(width=32, num_heads=2, ffn_width=64, num_layers=1) if small else {}
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    ns_eff = int(eval_args["num_surfaces"]) * (1 if use_cf else 2)
+    edge_tokens = ns_eff * int(eval_args["num_edges"])
     nets, params = {}, {}
     for stage in ("surfpos", "surfz", "edgepos", "edgez"):
-        # fused Pallas attention pays off on the long edge-stage sequences;
-        # the ~100-token surf stages are faster through plain XLA
-        attn = "pallas" if (on_tpu and stage.startswith("edge")) else "xla"
+        # fused Pallas attention pays off on medium-length edge sequences
+        # (~1-2k tokens); at >=4k tokens XLA matches it and compiles much
+        # faster, and the ~100-token surf stages are faster through XLA
+        attn = (
+            "pallas"
+            if (on_tpu and stage.startswith("edge") and edge_tokens <= 2048)
+            else "xla"
+        )
         net = build_denoiser(stage, use_cf=use_cf, dtype=dtype, attn_impl=attn,
                              **arch_kw)
         nets[stage] = net
