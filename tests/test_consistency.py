@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from brepgen_tpu.diffusion import (
+    ddim_scan,
     ddpm_scan,
+    make_ddim_plan,
     make_ddpm_plan,
     make_ddpm_tables,
     make_pndm_plan,
@@ -70,3 +72,11 @@ def test_overfit_then_sample_recovers_target():
     assert frac_matched > 0.7, (frac_matched, nearest.mean())
     # and samples should concentrate near the target's value range
     assert abs(float(np.abs(samples).max()) - 1.5) < 0.6
+
+    # fast mode: 50-step DDIM from the same trained model also recovers the
+    # target set (validates the --fast_steps sampling path end to end)
+    xf = jax.random.normal(jax.random.PRNGKey(123), (8, nf, 6))
+    xf = ddim_scan(eps_fn, xf, make_ddim_plan(50), clip_range=3.0)
+    df = np.abs(np.asarray(xf)[:, :, None, :] - np.asarray(target)[None, None]).max(-1)
+    frac_fast = float((df.min(-1) < 0.45).mean())
+    assert frac_fast > 0.6, frac_fast
