@@ -150,7 +150,8 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
         return None, f"postprocess failed: {e}"
     try:
         solid = construct_brep(
-            rec.surf_wcs, rec.edge_wcs, rec.face_edge_adj, rec.edge_vertex_adj
+            rec.surf_wcs, rec.edge_wcs, rec.face_edge_adj, rec.edge_vertex_adj,
+            vertices=rec.unique_vertices,
         )
     except Exception as e:  # noqa: BLE001 -- parity with reference's skip
         return None, f"brep rebuild failed: {e}"

@@ -1,17 +1,28 @@
-"""Minimal STEP (ISO 10303-21) writer for B-spline geometry.
+"""Native STEP (ISO 10303-21) writer: topological B-reps and loose geometry.
 
 The reference exports solids through OCC's ``write_step_file``
-(``sample.py:367``). This native writer emits the fitted B-spline surfaces
-and curves as ``B_SPLINE_SURFACE_WITH_KNOTS`` / ``B_SPLINE_CURVE_WITH_KNOTS``
-entities inside a ``GEOMETRICALLY_BOUNDED_SURFACE_SHAPE_REPRESENTATION`` --
-a valid AP203 geometric representation readable by mainstream CAD tools.
-(Full topological ADVANCED_BREP with trimmed faces/sewn shells is the OCC
-backend's job when pythonocc is installed; see ``occ_backend.py``.)
+(``sample.py:367``), whose output is an AP203 ``ADVANCED_BREP`` — trimmed
+faces, edge loops, vertices, a closed shell, and a manifold solid, built by
+``construct_brep`` (``utils.py:819-947``). ``write_step_brep`` emits that
+same topology stack natively:
+
+  CARTESIAN_POINT/VERTEX_POINT → B_SPLINE_CURVE_WITH_KNOTS/EDGE_CURVE →
+  ORIENTED_EDGE → EDGE_LOOP → FACE_OUTER_BOUND/FACE_BOUND →
+  ADVANCED_FACE (on B_SPLINE_SURFACE_WITH_KNOTS) → CLOSED_SHELL →
+  MANIFOLD_SOLID_BREP → ADVANCED_BREP_SHAPE_REPRESENTATION
+
+plus the AP203 product skeleton (PRODUCT .. SHAPE_DEFINITION_REPRESENTATION)
+that CAD importers use to find the root shape. Adjacent faces reference the
+SAME ``EDGE_CURVE``/``VERTEX_POINT`` entities, so the shell is genuinely
+sewn, not a bag of loose faces.
+
+``write_step`` (geometry-only ``GEOMETRIC_SET``) remains as the fallback
+when the topology is too degenerate to form closed loops.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -79,46 +90,47 @@ def _curve_entity(sf: _StepFile, c: BsplineCurve) -> int:
     )
 
 
-def write_step(
-    path: str,
-    surfaces: List[BsplineSurface],
-    curves: List[BsplineCurve],
-    name: str = "brepgen_solid",
-) -> None:
-    sf = _StepFile()
-
-    # units / context
-    unit = sf.add(
-        "( LENGTH_UNIT() NAMED_UNIT(*) SI_UNIT(.MILLI.,.METRE.) )"
-    )
+def _geometry_context(sf: _StepFile) -> int:
+    unit = sf.add("( LENGTH_UNIT() NAMED_UNIT(*) SI_UNIT(.MILLI.,.METRE.) )")
     ang = sf.add("( NAMED_UNIT(*) PLANE_ANGLE_UNIT() SI_UNIT($,.RADIAN.) )")
     solid_ang = sf.add("( NAMED_UNIT(*) SI_UNIT($,.STERADIAN.) SOLID_ANGLE_UNIT() )")
     unc = sf.add(
         f"UNCERTAINTY_MEASURE_WITH_UNIT(LENGTH_MEASURE(1.E-6),#{unit},"
         "'distance_accuracy_value','')"
     )
-    ctx = sf.add(
+    return sf.add(
         "( GEOMETRIC_REPRESENTATION_CONTEXT(3) "
         f"GLOBAL_UNCERTAINTY_ASSIGNED_CONTEXT((#{unc})) "
         f"GLOBAL_UNIT_ASSIGNED_CONTEXT((#{unit},#{ang},#{solid_ang})) "
         "REPRESENTATION_CONTEXT('',' ') )"
     )
 
-    geo_ids = [_surface_entity(sf, s) for s in surfaces]
-    geo_ids += [_curve_entity(sf, c) for c in curves]
-    gset = sf.add(
-        "GEOMETRIC_SET('{n}',({ids}))".format(
-            n=name, ids=",".join(f"#{i}" for i in geo_ids)
-        )
+
+def _product_skeleton(sf: _StepFile, shape_rep: int, name: str) -> None:
+    """Minimal AP203 product structure rooting the shape representation."""
+    app = sf.add(
+        "APPLICATION_CONTEXT('configuration controlled 3d designs of "
+        "mechanical parts and assemblies')"
     )
     sf.add(
-        f"GEOMETRICALLY_BOUNDED_SURFACE_SHAPE_REPRESENTATION('{name}',(#{gset}),#{ctx})"
+        "APPLICATION_PROTOCOL_DEFINITION('international standard',"
+        f"'config_control_design',1994,#{app})"
     )
+    pc = sf.add(f"PRODUCT_CONTEXT('',#{app},'mechanical')")
+    prod = sf.add(f"PRODUCT('{name}','{name}','',(#{pc}))")
+    sf.add(f"PRODUCT_RELATED_PRODUCT_CATEGORY('part','',(#{prod}))")
+    pdf = sf.add(f"PRODUCT_DEFINITION_FORMATION('','',#{prod})")
+    pdc = sf.add(f"PRODUCT_DEFINITION_CONTEXT('part definition',#{app},'design')")
+    pd = sf.add(f"PRODUCT_DEFINITION('design','',#{pdf},#{pdc})")
+    pds = sf.add(f"PRODUCT_DEFINITION_SHAPE('','',#{pd})")
+    sf.add(f"SHAPE_DEFINITION_REPRESENTATION(#{pds},#{shape_rep})")
 
+
+def _write_file(path: str, sf: _StepFile, name: str) -> None:
     lines = [
         "ISO-10303-21;",
         "HEADER;",
-        "FILE_DESCRIPTION(('BrepGen-TPU generated B-rep geometry'),'2;1');",
+        "FILE_DESCRIPTION(('BrepGen-TPU generated B-rep'),'2;1');",
         f"FILE_NAME('{name}.step','',('brepgen_tpu'),(''),'brepgen_tpu','','');",
         "FILE_SCHEMA(('CONFIG_CONTROL_DESIGN'));",
         "ENDSEC;",
@@ -129,3 +141,109 @@ def write_step(
     lines += ["ENDSEC;", "END-ISO-10303-21;"]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def write_step(
+    path: str,
+    surfaces: List[BsplineSurface],
+    curves: List[BsplineCurve],
+    name: str = "brepgen_solid",
+) -> None:
+    """Geometry-only export: loose surfaces/curves in a GEOMETRIC_SET."""
+    sf = _StepFile()
+    ctx = _geometry_context(sf)
+    geo_ids = [_surface_entity(sf, s) for s in surfaces]
+    geo_ids += [_curve_entity(sf, c) for c in curves]
+    gset = sf.add(
+        "GEOMETRIC_SET('{n}',({ids}))".format(
+            n=name, ids=",".join(f"#{i}" for i in geo_ids)
+        )
+    )
+    rep = sf.add(
+        f"GEOMETRICALLY_BOUNDED_SURFACE_SHAPE_REPRESENTATION('{name}',(#{gset}),#{ctx})"
+    )
+    _product_skeleton(sf, rep, name)
+    _write_file(path, sf, name)
+
+
+def write_step_brep(
+    path: str,
+    surfaces: List[BsplineSurface],          # per face
+    curves: List[BsplineCurve],              # per global edge id
+    face_loops: Sequence[Sequence[Sequence]],  # per face: loops of (edge_id, forward), outer first
+    vertices: np.ndarray,                    # [V, 3] unique vertex positions
+    edge_vertex_adj: np.ndarray,             # [E, 2] vertex ids per edge
+    name: str = "brepgen_solid",
+) -> None:
+    """Topological export: trimmed faces sewn into a MANIFOLD_SOLID_BREP.
+
+    ``face_loops`` must come from ``order_loops``/``orient_loops_uv`` — each
+    loop a closed chain of (edge_id, forward) with the outer bound first.
+    ``forward`` means traversal from ``edge_vertex_adj[e][0]`` to ``[1]``.
+    Edge-curve direction is resolved geometrically (the post-processor's
+    lexsort canonicalization may store vertex pairs against the curve's
+    sampling direction, ref ``dataset.py:522-525``).
+    """
+    sf = _StepFile()
+    ctx = _geometry_context(sf)
+    vertices = np.asarray(vertices, float)
+    edge_vertex_adj = np.asarray(edge_vertex_adj, int)
+
+    vert_pt = _cartesian_points(sf, vertices)
+    vert_ent = [sf.add(f"VERTEX_POINT('',#{p})") for p in vert_pt]
+
+    used_edges = sorted(
+        {int(e) for loops in face_loops for loop in loops for e, _ in loop}
+    )
+    edge_ent = {}
+    geo_fwd = {}
+    for e in used_edges:
+        c = curves[e]
+        a, b = edge_vertex_adj[e]
+        d0 = np.linalg.norm(c.control[0] - vertices[a])
+        d1 = np.linalg.norm(c.control[0] - vertices[b])
+        fwd = bool(d0 <= d1)  # curve's sampled start sits at vertex a
+        geo_fwd[e] = fwd
+        cid = _curve_entity(sf, c)
+        vs, ve = (a, b) if fwd else (b, a)
+        edge_ent[e] = sf.add(
+            f"EDGE_CURVE('',#{vert_ent[vs]},#{vert_ent[ve]},#{cid},.T.)"
+        )
+
+    face_ids = []
+    for f, loops in enumerate(face_loops):
+        sid = _surface_entity(sf, surfaces[f])
+        bound_ids = []
+        for li, loop in enumerate(loops):
+            oes = []
+            for e, forward in loop:
+                e = int(e)
+                a, b = edge_vertex_adj[e]
+                trav_start = a if forward else b
+                ec_start = a if geo_fwd[e] else b
+                flag = ".T." if trav_start == ec_start else ".F."
+                oes.append(sf.add(f"ORIENTED_EDGE('',*,*,#{edge_ent[e]},{flag})"))
+            elid = sf.add("EDGE_LOOP('',({}))".format(",".join(f"#{i}" for i in oes)))
+            kind = "FACE_OUTER_BOUND" if li == 0 else "FACE_BOUND"
+            bound_ids.append(sf.add(f"{kind}('',#{elid},.T.)"))
+        face_ids.append(
+            sf.add(
+                "ADVANCED_FACE('',({}),#{},.T.)".format(
+                    ",".join(f"#{i}" for i in bound_ids), sid
+                )
+            )
+        )
+
+    shell = sf.add(
+        "CLOSED_SHELL('',({}))".format(",".join(f"#{i}" for i in face_ids))
+    )
+    brep = sf.add(f"MANIFOLD_SOLID_BREP('{name}',#{shell})")
+    org = sf.add("CARTESIAN_POINT('',(0.,0.,0.))")
+    dz = sf.add("DIRECTION('',(0.,0.,1.))")
+    dx = sf.add("DIRECTION('',(1.,0.,0.))")
+    ax = sf.add(f"AXIS2_PLACEMENT_3D('',#{org},#{dz},#{dx})")
+    rep = sf.add(
+        f"ADVANCED_BREP_SHAPE_REPRESENTATION('{name}',(#{ax},#{brep}),#{ctx})"
+    )
+    _product_skeleton(sf, rep, name)
+    _write_file(path, sf, name)

@@ -81,6 +81,52 @@ def loop_polyline(loop, edge_wcs: np.ndarray) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def loop_uv_polygon(loop, grid: np.ndarray, edge_wcs: np.ndarray) -> np.ndarray:
+    """Map a loop's 3D polyline onto the face's UV index space."""
+    poly3d = loop_polyline(loop, edge_wcs)
+    uv = nearest_grid_index(poly3d, grid).astype(float)
+    keep = np.ones(len(uv), bool)
+    keep[1:] = np.any(np.diff(uv, axis=0) != 0, axis=1)
+    return uv[keep]
+
+
+def _signed_area(poly: np.ndarray) -> float:
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _reverse_loop(loop):
+    return [(e, not forward) for e, forward in reversed(loop)]
+
+
+def orient_loops_uv(loops, grid: np.ndarray, edge_wcs: np.ndarray):
+    """Order a face's loops outer-first and fix their UV winding.
+
+    STEP convention for a face bound (ISO 10303-42): the outer bound runs
+    counter-clockwise in the surface's (u, v) parameterization, inner
+    bounds (holes) clockwise, with ``same_sense = .T.``. The reference
+    gets this from OCC's ShapeFix (``utils.py:788-816``); here the winding
+    is computed from the loop's signed area in UV index space.
+
+    Returns the reordered/refit loops (outer first). Loops whose UV image
+    is degenerate (< 3 distinct points) are kept as-is.
+    """
+    if not loops:
+        return loops
+    outer = outer_loop_index(loops, edge_wcs)
+    ordered = [loops[outer]] + [l for i, l in enumerate(loops) if i != outer]
+    out = []
+    for i, loop in enumerate(ordered):
+        uv = loop_uv_polygon(loop, grid, edge_wcs)
+        if len(uv) >= 3:
+            area = _signed_area(uv)
+            want_ccw = i == 0
+            if (area < 0) == want_ccw:
+                loop = _reverse_loop(loop)
+        out.append(loop)
+    return out
+
+
 def trim_face_grid(
     grid: np.ndarray,                 # [Nu, Nv, 3]
     loops,                            # from order_loops

@@ -82,6 +82,89 @@ def test_construct_brep_and_export(tmp_path, maker):
     assert max(ids) == text.count("=") - 2 + 2  # sanity: ids within range
 
 
+@pytest.mark.parametrize("maker", [make_cuboid, lambda: make_prism(6), make_cylinder])
+def test_step_topological_roundtrip(tmp_path, maker):
+    """Exported STEP must re-import as a sewn MANIFOLD_SOLID_BREP whose
+    topology and geometry match the source B-rep (VERDICT round-1 item 4:
+    reference emits trimmed-face solids via utils.py:819-947)."""
+    from brepgen_tpu.geometry import load_brep, validate_solid
+    from brepgen_tpu.geometry.bspline import eval_bspline_surface
+
+    data = maker()
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"], data["edgeCorner_adj"]
+    )
+    assert solid.topology_ok()
+
+    path = str(tmp_path / "solid.step")
+    solid.write_step(path)
+    text = open(path).read()
+    assert "MANIFOLD_SOLID_BREP" in text
+    assert "ADVANCED_FACE" in text
+    assert "FACE_OUTER_BOUND" in text
+
+    brep = load_brep(path)
+    report = validate_solid(brep)
+    assert report["ok"], report
+    assert report["n_faces"] == len(data["surf_wcs"])
+    assert report["n_edges"] == len(data["edge_wcs"])
+    assert report["n_vertices"] == len(data["corner_unique"])
+
+    # vertex positions survive the round-trip (order may differ)
+    got = np.sort(np.round(brep.vertices, 6).view([("x", float), ("y", float), ("z", float)]), 0)
+    want = np.sort(
+        np.round(np.asarray(data["corner_unique"], float), 6).view(
+            [("x", float), ("y", float), ("z", float)]
+        ),
+        0,
+    )
+    assert np.allclose(
+        got.view(float).reshape(-1, 3), want.view(float).reshape(-1, 3), atol=2e-2
+    )
+
+    # surface geometry survives: evaluate each re-imported surface on the
+    # source grid parameterization and compare point-wise
+    u = np.linspace(0, 1, 32)
+    for face, grid in zip(brep.faces, data["surf_wcs"]):
+        recon = eval_bspline_surface(face.surface, u, u)
+        assert np.abs(recon - grid).max() < 5e-2
+
+    # every face bound is a closed chain with the outer bound first
+    for face in brep.faces:
+        assert face.bounds[0][0]  # FACE_OUTER_BOUND
+
+
+def test_step_geometric_fallback(tmp_path):
+    """Broken topology (an edge used once) falls back to GEOMETRIC_SET."""
+    data = make_cuboid()
+    adj = [list(a) for a in data["faceEdge_adj"]]
+    adj[0] = adj[0][:-1]  # drop one edge from one face -> open loop
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], adj, data["edgeCorner_adj"]
+    )
+    assert not solid.topology_ok()
+    path = str(tmp_path / "fallback.step")
+    solid.write_step(path)
+    text = open(path).read()
+    assert "GEOMETRIC_SET" in text
+    assert "MANIFOLD_SOLID_BREP" not in text
+
+
+def test_vertices_from_edges_direction_robust():
+    """Vertex estimation must survive edges stored against their sampled
+    direction (the post-processor lexsorts vertex pairs, dataset.py:522-525)."""
+    from brepgen_tpu.geometry.brep_build import vertices_from_edges
+
+    data = make_cuboid()
+    adj = np.array(data["edgeCorner_adj"])
+    # flip half the adjacency pairs without flipping the curves
+    flip = np.arange(len(adj)) % 2 == 0
+    adj[flip] = adj[flip][:, ::-1]
+    verts = vertices_from_edges(data["edge_wcs"], adj)
+    # per-id positions are unchanged by how the pair was stored
+    np.testing.assert_allclose(verts, data["corner_unique"], atol=5e-2)
+
+
 def test_prism_cap_trimming():
     """The hexagonal cap's grid covers its bbox square; trimming must drop
     the corner cells outside the hexagon."""
