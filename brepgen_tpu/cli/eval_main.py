@@ -45,6 +45,8 @@ def dedup_main(argv=None):
     from brepgen_tpu.data.dedup import dedup_primitives, solid_hash
     from brepgen_tpu.cli.build import uid_to_path
 
+    from brepgen_tpu.data.discovery import discover_split
+
     p = argparse.ArgumentParser()
     p.add_argument("--data", type=str, required=True, help="parsed pkl dir")
     p.add_argument("--list", type=str, default=None,
@@ -53,30 +55,33 @@ def dedup_main(argv=None):
     p.add_argument("--bit", type=int, default=6)
     p.add_argument("--option", type=str, default="abc",
                    choices=["abc", "deepcad", "furniture"])
+    p.add_argument("--split_json", type=str, default="train_val_test_split.json",
+                   help="official DeepCAD split (reference reads it from cwd)")
     args = p.parse_args(argv)
 
     if args.list is None:
-        # whole-solid dedup over every pkl in the tree -> split file
-        uids = []
-        for root, _d, files in os.walk(args.data):
-            for f in sorted(files):
-                if f.endswith(".pkl"):
-                    uids.append(os.path.relpath(os.path.join(root, f), args.data))
+        # CAD dedup (reference deduplicate_cad.py:23-72): discover the
+        # dataset split, dedup ONLY the training list by 6-bit surface
+        # hash, and preserve the official val/test lists untouched.
+        train_uids, val, test = discover_split(
+            args.data, args.option, split_json=args.split_json
+        )
         seen, train = set(), []
-        for uid in uids:
-            with open(os.path.join(args.data, uid), "rb") as fh:
+        for uid in train_uids:
+            with open(uid_to_path(args.data, uid), "rb") as fh:
                 data = pickle.load(fh)
             h = solid_hash(data["surf_wcs"], args.bit)
             if h not in seen:
                 seen.add(h)
-                train.append(os.path.basename(uid))
+                train.append(uid)
         out = f"{args.option}_data_split_{args.bit}bit.pkl"
-        n_val = max(len(train) // 10, 1)
-        split = {"train": train[: -2 * n_val], "val": train[-2 * n_val : -n_val],
-                 "test": train[-n_val:]}
+        split = {"train": train, "val": val, "test": test}
         with open(out, "wb") as fh:
             pickle.dump(split, fh)
-        print(f"{len(train)}/{len(uids)} unique -> {out}")
+        print(
+            f"{len(train)}/{len(train_uids)} unique train"
+            f" (+{len(val)} val, +{len(test)} test) -> {out}"
+        )
         return
 
     with open(args.list, "rb") as fh:

@@ -89,6 +89,14 @@ def make_assemble_fn(args):
     )
 
 
+def _filter_path(params):
+    """Pool worker: open one pkl and apply the training-set filter."""
+    path, max_face, max_edge, bbox_scaled, threshold = params
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return filter_sample(d, max_face, max_edge, bbox_scaled, threshold)
+
+
 def load_filtered_samples(args, split):
     """Returns (samples, class_labels or None); samples are dicts or paths."""
     if args.synthetic:
@@ -100,12 +108,23 @@ def load_filtered_samples(args, split):
         return kept, None
 
     paths, labels = resolve_samples(args.data, args.list, split)
+    params = [
+        (p, args.max_face, args.max_edge, args.bbox_scaled, args.threshold)
+        for p in paths
+    ]
+    if args.num_workers > 1 and len(paths) > 256:
+        # process-pool filter, like the reference (dataset.py:104-116) --
+        # 161k pkl opens at DeepCAD scale are IO/CPU bound on the host
+        from multiprocessing import Pool
+
+        with Pool(args.num_workers) as pool:
+            keep_flags = list(pool.imap(_filter_path, params, chunksize=64))
+    else:
+        keep_flags = [_filter_path(q) for q in params]
     kept, kept_labels = [], []
-    for i, path in enumerate(paths):
-        with open(path, "rb") as f:
-            d = pickle.load(f)
-        if filter_sample(d, args.max_face, args.max_edge, args.bbox_scaled, args.threshold):
-            kept.append(path)
+    for i, keep in enumerate(keep_flags):
+        if keep:
+            kept.append(paths[i])
             if labels is not None:
                 kept_labels.append(labels[i])
     print(f"{split}: kept {len(kept)}/{len(paths)}")
