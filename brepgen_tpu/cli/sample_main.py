@@ -55,24 +55,20 @@ def make_padded_decoder(decode_fn, params, item_shape):
     return decode
 
 
-def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides=None):
+def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides=None,
+                 aot_cache=None):
     use_cf = bool(eval_args["use_cf"])
     key = jax.random.PRNGKey(0)
     arch_kw = dict(width=32, num_heads=2, ffn_width=64, num_layers=1) if small else {}
     on_tpu = jax.default_backend() not in ("cpu",)
 
-    ns_eff = int(eval_args["num_surfaces"]) * (1 if use_cf else 2)
-    edge_tokens = ns_eff * int(eval_args["num_edges"])
     nets, params = {}, {}
     for stage in ("surfpos", "surfz", "edgepos", "edgez"):
-        # fused Pallas attention pays off on medium-length edge sequences
-        # (~1-2k tokens); at >=4k tokens XLA matches it and compiles much
-        # faster, and the ~100-token surf stages are faster through XLA
-        attn = (
-            "pallas"
-            if (on_tpu and stage.startswith("edge") and edge_tokens <= 2048)
-            else "xla"
-        )
+        # Pallas attention wins on every edge-sequence length (the layer
+        # picks the packed all-heads kernel at deepcad lengths and the
+        # per-head kernel at ABC lengths); the ~100-token surf stages are
+        # faster through plain XLA
+        attn = "pallas" if (on_tpu and stage.startswith("edge")) else "xla"
         net = build_denoiser(stage, use_cf=use_cf, dtype=dtype, attn_impl=attn,
                              **arch_kw)
         nets[stage] = net
@@ -115,7 +111,7 @@ def init_cascade(eval_args: Dict, dtype=jnp.float32, small=False, step_overrides
         sp = replicate(sp, mesh)
         ep = replicate(ep, mesh)
     cascade = build_cascade(nets, params, surf_decode, sp, edge_decode, ep, config,
-                            mesh=mesh)
+                            mesh=mesh, aot_cache_dir=aot_cache)
     host_surf_decode = make_padded_decoder(surf_decode, sp, (4, 4, 3))
     host_edge_decode = make_padded_decoder(edge_decode, ep, (4, 3))
     return cascade, config, host_surf_decode, host_edge_decode
@@ -163,11 +159,12 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
 
 def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
                 dtype=jnp.float32, max_batches: int = 0, workers: int = 8,
-                small: bool = False, step_overrides=None):
+                small: bool = False, step_overrides=None, aot_cache=None):
     save_folder = eval_args["save_folder"]
     os.makedirs(save_folder, exist_ok=True)
     cascade, config, surf_decode, edge_decode = init_cascade(
-        eval_args, dtype, small=small, step_overrides=step_overrides)
+        eval_args, dtype, small=small, step_overrides=step_overrides,
+        aot_cache=aot_cache)
 
     key = jax.random.PRNGKey(seed)
     produced = 0
@@ -229,6 +226,8 @@ def main(argv=None):
     p.add_argument("--ddpm_tail", type=int, default=None)
     p.add_argument("--fast_steps", type=int, default=None,
                    help="N-step DDIM per stage instead of the full protocol")
+    p.add_argument("--aot_cache", type=str, default="",
+                   help="dir for serialized stage executables (compile once)")
     args = p.parse_args(argv)
 
     cfg_path = args.config or os.path.abspath(DEFAULT_CONFIG)
@@ -241,7 +240,8 @@ def main(argv=None):
         if getattr(args, k) is not None
     }
     sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,
-                small=args.small, step_overrides=overrides)
+                small=args.small, step_overrides=overrides,
+                aot_cache=args.aot_cache or None)
 
 
 if __name__ == "__main__":

@@ -45,9 +45,22 @@ def _chamfer_block(sample: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_chamfer(
-    sample_pcs: np.ndarray, ref_pcs: np.ndarray, block: int = 4
+    sample_pcs: np.ndarray, ref_pcs: np.ndarray, block: int = 4,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Full [N_sample, N_ref] chamfer matrix, computed in device tiles."""
+    """Full [N_sample, N_ref] chamfer matrix.
+
+    On TPU this runs the Pallas tile kernel (``kernels/chamfer.py``) --
+    one program per [32 x 8] pair tile, no [P, P] tensor ever in HBM; the
+    XLA block path remains for CPU and as the golden reference.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        from brepgen_tpu.kernels.chamfer import chamfer_matrix
+
+        return np.asarray(chamfer_matrix(sample_pcs, ref_pcs))
+
     S, R = len(sample_pcs), len(ref_pcs)
     out = np.zeros((S, R), np.float32)
     sp = jnp.asarray(sample_pcs, jnp.float32)

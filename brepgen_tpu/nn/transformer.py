@@ -51,20 +51,35 @@ class MultiHeadSelfAttention(nn.Module):
         H = self.num_heads
         D = self.width // H
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        q, k, v = split(q), split(k), split(v)
 
         if self.attn_impl in ("pallas", "pallas_interpret"):
-            from brepgen_tpu.kernels.attention import fused_set_attention
-
-            out = fused_set_attention(
-                q, k, v, key_padding_mask, 128, self.attn_impl == "pallas_interpret"
+            from brepgen_tpu.kernels.attention import (
+                fused_set_attention,
+                fused_set_attention_packed,
             )
-        else:
-            out = masked_attention_xla(q, k, v, key_padding_mask)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, self.width)
+            interp = self.attn_impl == "pallas_interpret"
+            # packed kernel consumes the projection output directly -- no
+            # head transpose, feature split, or head-dim padding in HBM --
+            # but keeps full-S K/V rows (all heads) resident in VMEM, so
+            # long sequences fall back to the per-head kernel
+            if S * self.width * 2 <= 4 * 1024 * 1024:
+                out = fused_set_attention_packed(
+                    qkv, H, key_padding_mask, None, interp
+                )
+            else:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+                out = fused_set_attention(
+                    split(q), split(k), split(v), key_padding_mask, None, interp
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(B, S, self.width)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+            out = masked_attention_xla(split(q), split(k), split(v), key_padding_mask)
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, self.width)
+
         return nn.Dense(self.width, dtype=self.dtype, name="proj")(out)
 
 

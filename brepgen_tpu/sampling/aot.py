@@ -1,0 +1,139 @@
+"""Ahead-of-time stage compilation with on-disk executable caching.
+
+ABC-scale cascade stages (S=4000 scans) hit multi-minute remote compiles
+per process launch. ``AotCache`` wraps a jitted function so its compiled
+executable is serialized to disk on first use (``jax.experimental.
+serialize_executable``) and deserialized — skipping XLA entirely — on every
+later process. The reference has no analogue (eager PyTorch recompiles
+nothing, but also fuses nothing); this is the TPU-native answer to its
+"load weights and go" startup (``sample.py:57-98``).
+
+Cache keys cover the function name, abstract input signature, jax version,
+backend/device kind, and a caller-provided fingerprint (e.g. the cascade
+config), so stale executables can never be loaded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable, Optional
+
+import jax
+
+
+def _signature(args) -> str:
+    leaves, treedef = jax.tree.flatten(args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        parts.append(f"{getattr(leaf, 'shape', ())}:{getattr(leaf, 'dtype', type(leaf))}")
+    return "|".join(parts)
+
+
+class AotCache:
+    """Compile-once executable store for jitted stage functions."""
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _key(self, name: str, args, fingerprint: str) -> str:
+        dev = jax.devices()[0]
+        raw = "\n".join(
+            [
+                name,
+                fingerprint,
+                _signature(args),
+                jax.__version__,
+                jax.default_backend(),
+                dev.device_kind,
+            ]
+        )
+        return f"{name}-{hashlib.sha256(raw.encode()).hexdigest()[:16]}"
+
+    def wrap(self, fn: Callable, name: str, fingerprint: str = "") -> Callable:
+        """Returns fn' that loads/compiles-and-caches on first call.
+
+        ``fn`` must already be jitted (or jittable — it will be jitted).
+        Falls back to the plain jitted path if (de)serialization fails
+        (e.g. a backend without executable serialization support).
+        """
+        jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+        state: dict = {}
+
+        def place(exe, args):
+            # AOT executables pin their input shardings; uncommitted host
+            # arrays must be placed explicitly (jit does this implicitly,
+            # Compiled.__call__ does not)
+            try:
+                shardings = list(exe.input_shardings[0])
+            except Exception:  # noqa: BLE001
+                return args
+            leaves, treedef = jax.tree.flatten(args)
+            leaves = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
+            return jax.tree.unflatten(treedef, leaves)
+
+        def call(*args):
+            if "exe" not in state:
+                state["exe"], state["loaded"] = self._load_or_compile(
+                    jfn, name, args, fingerprint
+                )
+            try:
+                return state["exe"](*place(state["exe"], args))
+            except Exception:  # noqa: BLE001
+                if not state["loaded"]:
+                    raise
+                # a deserialized executable can be unusable on this host
+                # (e.g. device-assignment mismatch on virtual CPU meshes):
+                # recompile fresh and overwrite the cache entry
+                print(f"aot: cached executable for {name} unusable here; recompiling")
+                os.unlink(self._path(name, args, fingerprint))
+                state["exe"], state["loaded"] = self._load_or_compile(
+                    jfn, name, args, fingerprint
+                )
+                return state["exe"](*place(state["exe"], args))
+
+        return call
+
+    def _path(self, name, args, fingerprint):
+        return os.path.join(self.cache_dir, self._key(name, args, fingerprint) + ".jaxexe")
+
+    def _load_or_compile(self, jfn, name: str, args, fingerprint: str):
+        """Returns (executable, was_loaded_from_disk)."""
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load,
+            serialize,
+        )
+
+        path = self._path(name, args, fingerprint)
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                return deserialize_and_load(payload, in_tree, out_tree), True
+            except Exception as e:  # noqa: BLE001 -- stale/corrupt cache entry
+                print(f"aot: ignoring unloadable cache entry {path}: {e}")
+                os.unlink(path)
+
+        compiled = jfn.lower(*args).compile()
+        try:
+            payload, in_tree, out_tree = serialize(compiled)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree), f)
+            os.replace(tmp, path)
+        except Exception as e:  # noqa: BLE001 -- serialization unsupported
+            print(f"aot: executable not cacheable ({e}); compiled in-process only")
+        return compiled, False
+
+
+def maybe_aot(cache_dir: Optional[str]) -> Optional[AotCache]:
+    return AotCache(cache_dir) if cache_dir else None
+
+
+def wrap_stage(cache: Optional[AotCache], fn: Callable, name: str, fingerprint: str = "") -> Callable:
+    """No-op without a cache; AOT-wrapped with one."""
+    if cache is None:
+        return fn
+    return cache.wrap(fn, name, fingerprint)

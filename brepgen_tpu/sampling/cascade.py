@@ -94,6 +94,7 @@ def build_cascade(
     edge_vae_params: Any,
     config: CascadeConfig,
     mesh: Optional[Mesh] = None,
+    aot_cache_dir: Optional[str] = None,
 ) -> Callable:
     """Returns jitted fn(key) -> dict of device arrays for postprocessing.
 
@@ -283,16 +284,28 @@ def build_cascade(
                            min(8192, B * ns * ne)).reshape(B, ns, ne, 32, 3)
         return surf_ncs, edge_ncs
 
+    # optional AOT: serialize each stage's compiled executable to disk so
+    # later processes skip the (remote, minutes-long at ABC scale) compile
+    from brepgen_tpu.sampling.aot import maybe_aot, wrap_stage
+
+    _aot = maybe_aot(aot_cache_dir)
+    fp = repr(cfg)
+    s_surfpos = wrap_stage(_aot, stage_surfpos, "surfpos", fp)
+    s_surfz = wrap_stage(_aot, stage_surfz, "surfz", fp)
+    s_edgepos = wrap_stage(_aot, stage_edgepos, "edgepos", fp)
+    s_edgez = wrap_stage(_aot, stage_edgez, "edgez", fp)
+    s_decode = wrap_stage(_aot, stage_decode, "decode", fp)
+
     def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
         keys = jax.random.split(key, 8)
-        surfpos = stage_surfpos(net_params["surfpos"], keys[0])
-        surfpos, surf_mask, surf_keep, surfz = stage_surfz(
+        surfpos = s_surfpos(net_params["surfpos"], keys[0])
+        surfpos, surf_mask, surf_keep, surfz = s_surfz(
             net_params["surfz"], keys[2], surfpos)
-        edgepos = stage_edgepos(
+        edgepos = s_edgepos(
             net_params["edgepos"], keys[3], surfpos, surfz, surf_mask)
-        edge_mask, edgezv = stage_edgez(
+        edge_mask, edgezv = s_edgez(
             net_params["edgez"], keys[5], edgepos, surfpos, surfz, surf_keep)
-        surf_ncs, edge_ncs = stage_decode(
+        surf_ncs, edge_ncs = s_decode(
             surf_vae_params, edge_vae_params, surfz, edgezv)
         return {
             "surf_pos": surfpos / cfg.bbox_scaled,

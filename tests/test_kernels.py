@@ -58,6 +58,53 @@ def test_gradients_flow():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def test_packed_matches_reference():
+    """Packed all-heads kernel ([B,S,3W] in, [B,S,W] out) vs XLA reference."""
+    from brepgen_tpu.kernels.attention import (
+        _packed_reference,
+        fused_set_attention_packed,
+    )
+
+    key = jax.random.PRNGKey(4)
+    B, S, W, H = 2, 50, 48, 3
+    qkv = jax.random.normal(key, (B, S, 3 * W))
+    for mask in (None, jnp.zeros((B, S), bool).at[:, 37:].set(True)):
+        want = _packed_reference(qkv, H, mask)
+        got = fused_set_attention_packed(qkv, H, mask, 16, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_gradients_flow():
+    from brepgen_tpu.kernels.attention import (
+        _packed_reference,
+        fused_set_attention_packed,
+    )
+
+    key = jax.random.PRNGKey(5)
+    B, S, W, H = 1, 20, 16, 2
+    qkv = jax.random.normal(key, (B, S, 3 * W))
+    mask = jnp.zeros((B, S), bool).at[:, 15:].set(True)
+
+    gp = jax.grad(lambda a: jnp.sum(fused_set_attention_packed(a, H, mask, 16, True) ** 2))(qkv)
+    gx = jax.grad(lambda a: jnp.sum(_packed_reference(a, H, mask) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4)
+
+
+def test_chamfer_matrix_matches_xla():
+    """Pallas chamfer-matrix kernel (interpret) vs the XLA block reference,
+    including ragged (non-multiple-of-block) S, R and padded points."""
+    from brepgen_tpu.eval.metrics import _chamfer_block
+    from brepgen_tpu.kernels.chamfer import chamfer_matrix
+
+    key = jax.random.PRNGKey(6)
+    S, R, P = 5, 3, 40
+    sp = jax.random.normal(key, (S, P, 3))
+    rp = jax.random.normal(jax.random.fold_in(key, 1), (R, P, 3))
+    want = _chamfer_block(sp, rp)
+    got = chamfer_matrix(sp, rp, block_s=4, block_r=2, chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_transformer_with_pallas_impl():
     """The encoder wired to attn_impl='pallas' agrees with the XLA path."""
     from brepgen_tpu.nn import make_surfz_net
