@@ -248,12 +248,20 @@ def main(argv=None):
     jrng = jax.random.PRNGKey(args.seed + 2)
     val_steps = (10, 50, 100, 200, 500) if args.option in ("surfpos", "surfz") else (10, 50, 100)
 
+    from brepgen_tpu.data.loader import prefetch_to_device
+
     step = 0
     for epoch in range(1, args.train_nepoch + 1):
-        for raw in batcher:
-            batch = to_batch(args, raw)
-            if mesh is not None:
-                batch = {k: jax.device_put(v, _batch_sharding) for k, v in batch.items()}
+        # background producer: host assembly + device transfer of batch
+        # k+1..k+2 overlap the device compute of batch k (the reference
+        # gets this from DataLoader worker processes, trainer.py:54,314)
+        stream = prefetch_to_device(
+            (to_batch(args, raw) for raw in batcher),
+            lookahead=2,
+            sharding=_batch_sharding if mesh is not None else None,
+            background=True,
+        )
+        for batch in stream:
             jrng, sub = jax.random.split(jrng)
             state, m = step_fn(state, batch, sub)
             if step % 10 == 0:

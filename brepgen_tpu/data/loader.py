@@ -102,24 +102,54 @@ def flat_vae_batcher(
     return gen
 
 
-def prefetch_to_device(iterator, lookahead: int = 2, sharding=None):
+def prefetch_to_device(iterator, lookahead: int = 2, sharding=None,
+                       background: bool = False):
     """Wrap a host batch iterator with device-transfer lookahead.
 
     Keeps ``lookahead`` batches in flight on device while the train step
     consumes the current one (the torch-DataLoader-worker analog; transfers
-    overlap compute because device_put is async).
+    overlap compute because device_put is async). With ``background=True``
+    a producer thread pulls and transfers batches, so host-side batch
+    assembly itself also overlaps device compute instead of running on the
+    consumer thread between steps.
     """
     import collections
 
     import jax
-
-    queue = collections.deque()
 
     def put(batch):
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
+    if background:
+        import queue as queue_mod
+        import threading
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(lookahead, 1))
+        done = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in iterator:
+                    q.put(put(batch))
+            except BaseException as e:  # noqa: BLE001 -- re-raised on consumer
+                err.append(e)
+            finally:
+                q.put(done)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+    queue = collections.deque()
     for batch in iterator:
         queue.append(put(batch))
         if len(queue) > lookahead:
