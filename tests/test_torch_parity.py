@@ -355,6 +355,185 @@ def test_full_edge_vae_matches_torch():
     )
 
 
+class _TResnet2D(torch.nn.Module):
+    """diffusers ResnetBlock2D semantics (norm-silu-conv twice, 1x1 skip)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(min(32, cin), cin, eps=1e-6)
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = torch.nn.GroupNorm(min(32, cout), cout, eps=1e-6)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = torch.nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class _TAttn2D(torch.nn.Module):
+    """diffusers VAE mid-block Attention: single head over channels."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = torch.nn.GroupNorm(min(32, c), c, eps=1e-6)
+        self.to_q = torch.nn.Linear(c, c)
+        self.to_k = torch.nn.Linear(c, c)
+        self.to_v = torch.nn.Linear(c, c)
+        self.to_out = torch.nn.ModuleList([torch.nn.Linear(c, c)])
+
+    def forward(self, x):  # [B, C, H, W]
+        B, C, H, W = x.shape
+        h = self.group_norm(x).reshape(B, C, H * W).transpose(1, 2)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        w = torch.softmax(q @ k.transpose(-1, -2) / C**0.5, dim=-1)
+        h = self.to_out[0](w @ v).transpose(1, 2).reshape(B, C, H, W)
+        return x + h
+
+
+class _TMid2D(torch.nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList([_TResnet2D(c, c), _TResnet2D(c, c)])
+        self.attentions = torch.nn.ModuleList([_TAttn2D(c)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class _TDown2D(torch.nn.Module):
+    def __init__(self, cin, cout, last):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList([_TResnet2D(cin, cout), _TResnet2D(cout, cout)])
+        if not last:
+            mod = torch.nn.Module()
+            mod.conv = torch.nn.Conv2d(cout, cout, 3, stride=2)
+            self.downsamplers = torch.nn.ModuleList([mod])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, "downsamplers"):
+            x = torch.nn.functional.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class _TUp2D(torch.nn.Module):
+    def __init__(self, cin, cout, last):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList(
+            [_TResnet2D(cin, cout), _TResnet2D(cout, cout), _TResnet2D(cout, cout)]
+        )
+        if not last:
+            mod = torch.nn.Module()
+            mod.conv = torch.nn.Conv2d(cout, cout, 3, padding=1)
+            self.upsamplers = torch.nn.ModuleList([mod])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, "upsamplers"):
+            x = torch.nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class _TSurfVAE(torch.nn.Module):
+    """diffusers-AutoencoderKL-shaped 2D KL-VAE (reference trainer.py:20-30)
+    at test width, state-dict keys matching the released checkpoints."""
+
+    def __init__(self, ch=(32, 32, 64, 64), latent=3):
+        super().__init__()
+        enc = torch.nn.Module()
+        enc.conv_in = torch.nn.Conv2d(3, ch[0], 3, padding=1)
+        blocks, prev = [], ch[0]
+        for i, c in enumerate(ch):
+            blocks.append(_TDown2D(prev, c, last=i == len(ch) - 1))
+            prev = c
+        enc.down_blocks = torch.nn.ModuleList(blocks)
+        enc.mid_block = _TMid2D(ch[-1])
+        enc.conv_norm_out = torch.nn.GroupNorm(min(32, ch[-1]), ch[-1], eps=1e-6)
+        enc.conv_out = torch.nn.Conv2d(ch[-1], 2 * latent, 3, padding=1)
+        self.encoder = enc
+
+        dec = torch.nn.Module()
+        rev = list(reversed(ch))
+        dec.conv_in = torch.nn.Conv2d(latent, rev[0], 3, padding=1)
+        dec.mid_block = _TMid2D(rev[0])
+        blocks, prev = [], rev[0]
+        for i, c in enumerate(rev):
+            blocks.append(_TUp2D(prev, c, last=i == len(rev) - 1))
+            prev = c
+        dec.up_blocks = torch.nn.ModuleList(blocks)
+        dec.conv_norm_out = torch.nn.GroupNorm(min(32, rev[-1]), rev[-1], eps=1e-6)
+        dec.conv_out = torch.nn.Conv2d(rev[-1], 3, 3, padding=1)
+        self.decoder = dec
+
+        self.quant_conv = torch.nn.Conv2d(2 * latent, 2 * latent, 1)
+        self.post_quant_conv = torch.nn.Conv2d(latent, latent, 1)
+
+    def encode_moments(self, x):
+        h = self.encoder.conv_in(x)
+        for b in self.encoder.down_blocks:
+            h = b(h)
+        h = self.encoder.mid_block(h)
+        h = torch.nn.functional.silu(self.encoder.conv_norm_out(h))
+        return self.quant_conv(self.encoder.conv_out(h))
+
+    def decode(self, z):
+        h = self.decoder.conv_in(self.post_quant_conv(z))
+        h = self.decoder.mid_block(h)
+        for b in self.decoder.up_blocks:
+            h = b(h)
+        h = torch.nn.functional.silu(self.decoder.conv_norm_out(h))
+        return self.decoder.conv_out(h)
+
+
+def test_full_surf_vae_matches_torch():
+    """Full SurfVAE converter round-trip: encode moments AND decode output
+    parity <= 1e-4 vs the diffusers-shaped torch model."""
+    import jax.numpy as jnp
+
+    from brepgen_tpu.nn import SurfVAE
+
+    torch.manual_seed(3)
+    tvae = _TSurfVAE().eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        moments = tvae.encode_moments(x)
+        z = moments[:, :3]
+        recon = tvae.decode(z)
+
+    sd = {k: v.numpy() for k, v in tvae.state_dict().items()}
+    from brepgen_tpu.tools.convert_torch import convert_surf_vae
+
+    params = convert_surf_vae(sd)
+
+    ours = SurfVAE(block_out_channels=(32, 32, 64, 64))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    post = ours.apply(params, xj, method=SurfVAE.encode)
+    got_moments = np.concatenate(
+        [np.asarray(post.mean), np.asarray(post.logvar)], axis=-1
+    )
+    want_moments = np.asarray(moments).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got_moments, want_moments, rtol=1e-4, atol=1e-4)
+
+    got_recon = ours.apply(
+        params, jnp.asarray(np.asarray(z).transpose(0, 2, 3, 1)), method=SurfVAE.decode
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_recon), np.asarray(recon).transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_denoiser_conversion_shapes():
     """A synthetic reference-layout state_dict converts into params our
     model accepts and runs with."""
