@@ -6,12 +6,20 @@ SURVEY.md section 3.3 -- ~1216 sequential denoiser forwards per batch):
   * surf stage: SurfPosNet/SurfZNet-shaped forward, batch 16, 60 tokens
     (DeepCAD num_surfaces=30 doubled by the late increase);
   * edge stage: EdgeZNet-shaped forward, batch 16, 60x30=1800 tokens --
-    the heavy stage;
+    the heavy stage (packed Pallas attention);
 
-both with the production d=768/12L/12h architecture in bf16, jitted, on
-the real device. The headline metric extrapolates full-cascade
-B-reps/min/chip from the measured per-step times and the reference's step
-counts (408 surf-pos + 209 surf-z + 408 edge-pos + 209 edge-z evals).
+both with the production d=768/12L/12h architecture in bf16 on the real
+device. Timing runs the step as the body of a lax.scan -- exactly how the
+production cascade executes its denoise loops -- so per-dispatch overhead
+and any backend-side result caching of repeated identical calls (see
+CLAUDE.md) cannot distort the number; the scan carry chains each step's
+output into the next step's input.
+
+The headline metric extrapolates full-cascade B-reps/min/chip from the
+measured per-step times and the reference's step counts (408 surf-pos +
+209 surf-z + 408 edge-pos + 209 edge-z evals). The independently measured
+end-to-end cascade (scripts/bench_cascade.py) tracks this estimate to
+within a few percent (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is relative to the estimated reference throughput on A100
@@ -38,55 +46,63 @@ SURF_EVALS = 408 + 209   # surfpos (158 pndm + 250 ddpm) + surfz (209)
 EDGE_EVALS = 408 + 209   # edgepos + edgez
 
 
-def _time_chained(step, x0, iters=20, warmup=2):
-    """Time ``x = step(x)`` chained (data-dependent) so no caching layer or
-    async trick can elide work; the denoise loops are sequential anyway."""
-    x = x0
-    for _ in range(warmup):
-        x = step(x)
-    jax.block_until_ready(x)
+def _scan_time(step, x0, n_steps):
+    """Seconds per step of x <- step(x) inside one compiled lax.scan."""
+
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            return step(x), ()
+
+        x, _ = jax.lax.scan(body, x, None, length=n_steps)
+        return x
+
+    out = run(x0)                     # compile + first run
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    out = run(out)                    # carry chains into the second run
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_steps
+    assert bool(jnp.isfinite(out).all()), "scan diverged"
+    return dt
 
 
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    iters = 20 if on_tpu else 2
+    n_steps = 30 if on_tpu else 2
 
     key = jax.random.PRNGKey(0)
+    t = jnp.full((B,), 500, jnp.int32)
 
     # --- surf stage (60-token set) ---
-    attn = "pallas" if on_tpu else "xla"
     surf_net = make_surfpos_net(dtype=dtype, attn_impl="xla")  # short seqs
     x_s = jax.random.normal(key, (B, NS, 6))
-    t = jnp.full((B,), 500, jnp.int32)
     p_s = surf_net.init(key, (x_s,), t)
-    surf_fwd = jax.jit(lambda x: surf_net.apply(p_s, (x,), t))
-    t_surf = _time_chained(surf_fwd, x_s, iters)
+
+    def surf_step(x):
+        out = surf_net.apply(p_s, (x,), t)
+        return (out / (jnp.abs(out).max() + 1e-6)).astype(x.dtype)
+
+    t_surf = _scan_time(surf_step, x_s, n_steps)
 
     # --- edge stage (1800-token set) ---
+    attn = "pallas" if on_tpu else "xla"
     edge_net = make_edgez_net(dtype=dtype, attn_impl=attn)
     S = NS * NE
-    streams = (
-        jax.random.normal(key, (B, S, 12)),
-        jax.random.normal(key, (B, S, 6)),
-        jax.random.normal(key, (B, S, 6)),
-        jax.random.normal(key, (B, S, 6)),
-        jax.random.normal(key, (B, S, 48)),
+    streams = tuple(
+        jax.random.normal(key, (B, S, d)) for d in (12, 6, 6, 6, 48)
     )
     mask = jnp.zeros((B, S), bool)
     p_e = edge_net.init(key, streams, t, mask)
 
-    @jax.jit
     def edge_step(zv):
-        out = edge_net.apply(p_e, (zv[..., :12], zv[..., 12:]) + streams[2:], t, mask)
-        return out  # [B, S, 18] feeds back as the next zv
+        out = edge_net.apply(
+            p_e, (zv[..., :12], zv[..., 12:]) + streams[2:], t, mask
+        )
+        return (out / (jnp.abs(out).max() + 1e-6)).astype(zv.dtype)
 
-    t_edge = _time_chained(edge_step, jax.random.normal(key, (B, S, 18)), iters)
+    t_edge = _scan_time(edge_step, jax.random.normal(key, (B, S, 18)), n_steps)
 
     cascade_seconds = SURF_EVALS * t_surf + EDGE_EVALS * t_edge
     breps_per_min = B / cascade_seconds * 60.0

@@ -57,23 +57,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def default_block_q(S: int) -> int:
-    """Pick the largest q-block that keeps padding waste small.
+def default_block_q(S: int, packed: bool = True) -> int:
+    """Measured-optimal q-block size (v5e sweeps, scan-based timing).
 
-    Bigger blocks mean fewer grid programs and longer MXU pipelines per
-    program (measured on v5e: bq=384 at S=1800 runs ~2x faster than
-    bq=128); the logits scratch is [bq, S_pad] f32 so VMEM bounds bq.
+    Packed all-heads kernel at S=1800: bq 384 -> 54.2 ms edge step vs
+    640 -> 59.1 and full-S 1920 -> 55.9. Per-head kernel at S=4000:
+    bq 512 -> 14.3 ms/layer vs 128 -> 15.5. Small sets just round up --
+    one program covers everything.
     """
-    best, best_cost = 128, None
-    for bq in (128, 256, 384, 512, 640, 768):
-        s_pad = _round_up(S, bq)
-        if bq * s_pad * 4 > 6 * 1024 * 1024:  # logits f32 VMEM budget
-            continue
-        cost = s_pad * (1.0 + 8.0 / (s_pad // bq) / 100.0)  # pad waste, slight
-        cost /= bq ** 0.25  # prefer bigger blocks (pipeline depth)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = bq, cost
-    return best
+    target = 384 if packed else 512
+    if S <= target:
+        return max(_round_up(S, 128), 128)
+    return target
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -91,7 +86,7 @@ def fused_set_attention(
 def _forward(q, k, v, key_padding_mask, block_q=None, interpret=False):
     B, H, S, D = q.shape
     if block_q is None:
-        block_q = default_block_q(S)
+        block_q = default_block_q(S, packed=False)
     S_pad = _round_up(S, block_q)
     D_pad = _round_up(D, 128)
 

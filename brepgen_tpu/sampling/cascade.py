@@ -95,6 +95,7 @@ def build_cascade(
     config: CascadeConfig,
     mesh: Optional[Mesh] = None,
     aot_cache_dir: Optional[str] = None,
+    stage_times: Optional[Dict[str, float]] = None,
 ) -> Callable:
     """Returns jitted fn(key) -> dict of device arrays for postprocessing.
 
@@ -295,6 +296,29 @@ def build_cascade(
     s_edgepos = wrap_stage(_aot, stage_edgepos, "edgepos", fp)
     s_edgez = wrap_stage(_aot, stage_edgez, "edgez", fp)
     s_decode = wrap_stage(_aot, stage_decode, "decode", fp)
+
+    if stage_times is not None:
+        # measurement mode: synchronize around each stage and accumulate
+        # wall-clock per stage name (adds a host sync per stage)
+        import time as _time
+
+        def timed(fn, name):
+            def run(*args):
+                _t0 = _time.perf_counter()
+                out = fn(*args)
+                jax.block_until_ready(out)
+                stage_times[name] = stage_times.get(name, 0.0) + (
+                    _time.perf_counter() - _t0
+                )
+                return out
+
+            return run
+
+        s_surfpos = timed(s_surfpos, "surfpos")
+        s_surfz = timed(s_surfz, "surfz")
+        s_edgepos = timed(s_edgepos, "edgepos")
+        s_edgez = timed(s_edgez, "edgez")
+        s_decode = timed(s_decode, "decode")
 
     def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
         keys = jax.random.split(key, 8)

@@ -1,9 +1,16 @@
 """Time the full jitted generation cascade (production sizes, random
-weights) on the current backend. Usage: python scripts/bench_cascade.py
-[mode] [attn_impl]."""
+weights) on the current backend, with per-stage wall-clock and optional
+AOT executable caching.
 
+Usage: python scripts/bench_cascade.py [mode] [attn_impl] [aot_cache_dir]
+"""
+
+import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +21,7 @@ from brepgen_tpu.train.vae_train import make_decoder_fn
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "deepcad"
 attn = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+aot_dir = sys.argv[3] if len(sys.argv) > 3 else None
 dtype = jnp.bfloat16
 
 key = jax.random.PRNGKey(0)
@@ -43,19 +51,32 @@ edge_vae = build_vae("edge", dtype=dtype)
 sp = surf_vae.init(key, jnp.zeros((1, 32, 32, 3)))
 ep = edge_vae.init(key, jnp.zeros((1, 32, 3)))
 
+stage_times = {}
 cascade = build_cascade(
-    nets, params, make_decoder_fn(surf_vae), sp, make_decoder_fn(edge_vae), ep, cfg
+    nets, params, make_decoder_fn(surf_vae), sp, make_decoder_fn(edge_vae), ep, cfg,
+    aot_cache_dir=aot_dir, stage_times=stage_times,
 )
 
 t0 = time.time()
 out = cascade(jax.random.PRNGKey(1))
 jax.block_until_ready(out)
 t_first = time.time() - t0
-print(f"first call (compile + run): {t_first:.1f}s")
+print(f"first call (compile/AOT-load + run): {t_first:.1f}s", flush=True)
 
+stage_times.clear()
 t0 = time.time()
 out = cascade(jax.random.PRNGKey(2))
 jax.block_until_ready(out)
 t_run = time.time() - t0
 bpm = cfg.batch_size / t_run * 60
-print(f"steady-state cascade: {t_run:.2f}s/batch{cfg.batch_size} -> {bpm:.1f} breps/min/chip [{mode}, {attn}]")
+per_3k = 3000 / cfg.batch_size * t_run / 3600
+print(json.dumps({
+    "mode": mode,
+    "attn": attn,
+    "first_call_s": round(t_first, 1),
+    "steady_s_per_batch16": round(t_run, 2),
+    "breps_per_min_chip": round(bpm, 2),
+    "stage_s": {k: round(v, 2) for k, v in stage_times.items()},
+    "projected_3k_run_chip_hours": round(per_3k, 2),
+    "projected_3k_run_v5e8_hours": round(per_3k / 8, 2),
+}))
