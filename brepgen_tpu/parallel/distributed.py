@@ -18,9 +18,12 @@ import jax
 
 
 def maybe_initialize_distributed() -> bool:
-    """Initialize multi-host JAX if configured; returns True if distributed."""
-    if jax.process_count() > 1:
-        return True  # already initialized
+    """Initialize multi-host JAX if configured; returns True if distributed.
+
+    The env check MUST run before anything touches the backend —
+    ``jax.process_count()`` itself initializes XLA, after which
+    ``jax.distributed.initialize`` refuses to run.
+    """
     coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")
@@ -31,7 +34,7 @@ def maybe_initialize_distributed() -> bool:
             process_id=int(pid),
         )
         return True
-    return False
+    return jax.process_count() > 1  # e.g. a TPU pod runtime auto-initialized
 
 
 def shard_list_for_host(items):
