@@ -44,6 +44,9 @@ def main(argv=None):
                    choices=["abc", "deepcad", "furniture"])
     p.add_argument("--bit", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--uid_list", type=str, default=None,
+                   help="file of STEP dirs/files to restrict extraction to "
+                        "(written by the shard driver)")
     args = p.parse_args(argv)
 
     if args.synthetic:
@@ -76,7 +79,11 @@ def main(argv=None):
             "use --synthetic N for the analytic dataset. "
             f"({e})"
         )
-    process_step_dir(args.input, args.output, args.option)
+    roots = None
+    if args.uid_list:
+        with open(args.uid_list) as f:
+            roots = [line.strip() for line in f if line.strip()]
+    process_step_dir(args.input, args.output, args.option, roots=roots)
 
 
 if __name__ == "__main__":

@@ -126,12 +126,20 @@ def process_one(args):
         signal.alarm(0)
 
 
-def process_step_dir(in_dir: str, out_dir: str, option: str = "abc") -> int:
+def process_step_dir(
+    in_dir: str, out_dir: str, option: str = "abc", roots=None
+) -> int:
+    """Extract every STEP under ``in_dir`` (or only under ``roots`` — the
+    shard driver passes per-shard folder lists)."""
     paths = []
-    for root, _dirs, files in os.walk(in_dir):
-        for f in files:
-            if f.lower().endswith((".step", ".stp")):
-                paths.append(os.path.join(root, f))
+    for base in roots if roots is not None else [in_dir]:
+        if os.path.isfile(base):
+            paths.append(base)
+            continue
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                if f.lower().endswith((".step", ".stp")):
+                    paths.append(os.path.join(root, f))
     os.makedirs(out_dir, exist_ok=True)
     ok = 0
     with Pool(os.cpu_count()) as pool:
