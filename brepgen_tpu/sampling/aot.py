@@ -65,14 +65,16 @@ class AotCache:
         def place(exe, args):
             # AOT executables pin their input shardings; uncommitted host
             # arrays must be placed explicitly (jit does this implicitly,
-            # Compiled.__call__ does not)
+            # Compiled.__call__ does not). input_shardings[0] is a tuple
+            # aligned with the positional args, each entry a pytree of
+            # shardings matching that argument's structure.
             try:
-                shardings = list(exe.input_shardings[0])
+                shardings = exe.input_shardings[0]
             except Exception:  # noqa: BLE001
                 return args
-            leaves, treedef = jax.tree.flatten(args)
-            leaves = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
-            return jax.tree.unflatten(treedef, leaves)
+            return tuple(
+                jax.device_put(a, s) for a, s in zip(args, shardings)
+            )
 
         def call(*args):
             if "exe" not in state:
