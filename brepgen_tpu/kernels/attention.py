@@ -224,17 +224,122 @@ def _packed_reference(qkv, num_heads, key_padding_mask):
     return out.transpose(0, 2, 1, 3).reshape(B, S, W)
 
 
+def _packed_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref, dv_ref, *, scale, H
+):
+    """Flash-style backward for the packed layout, one (batch, q-block)
+    program: recompute P in VMEM, emit dQ for this block and accumulate
+    dK/dV (f32) across q-blocks into the revisited full-S output blocks.
+    """
+    q = q_ref[0]      # [bq, W]
+    k = k_ref[0]      # [S, W]
+    v = v_ref[0]
+    do = do_ref[0]    # [bq, W]
+    bias = bias_ref[0]  # [1, S]
+    W = q.shape[-1]
+    D = W // H
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        p = jax.nn.softmax(logits, axis=-1)              # [bq, S] f32
+        p_lo = p.astype(v.dtype)
+        # dV_h = P^T dO_h
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            p_lo, do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO_h V_h^T ; dL = P*(dP - rowsum(dP*P))
+        dp = jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [bq, S]
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dl_lo = dl.astype(q.dtype)
+        # dQ_h = s * dL K_h ; dK_h = s * dL^T Q_h
+        dq_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                dl_lo, k[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            dl_lo, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+
+def _packed_backward(qkv, g, num_heads, key_padding_mask, block_q, interpret):
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    if block_q is None:
+        block_q = default_block_q(S)
+    S_pad = _round_up(S, block_q)
+
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((B, S), bool)
+    if S_pad != S:
+        qkv = jnp.pad(qkv, ((0, 0), (0, S_pad - S), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, S_pad - S), (0, 0)))
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, S_pad - S)), constant_values=True
+        )
+    bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)[:, None, :]
+
+    kwargs = dict(memory_space=_MEMSPACE) if _MEMSPACE is not None else {}
+    extra = {}
+    if pltpu is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    scale = 1.0 / ((W // num_heads) ** 0.5)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, H=num_heads),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, W), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, S_pad, W), jnp.float32),
+        ),
+        grid=(B, S_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, W), lambda b, iq: (b, iq, 0), **kwargs),
+            pl.BlockSpec((1, S_pad, W), lambda b, iq: (b, 0, 1), **kwargs),
+            pl.BlockSpec((1, S_pad, W), lambda b, iq: (b, 0, 2), **kwargs),
+            pl.BlockSpec((1, block_q, W), lambda b, iq: (b, iq, 0), **kwargs),
+            pl.BlockSpec((1, 1, S_pad), lambda b, iq: (b, 0, 0), **kwargs),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, W), lambda b, iq: (b, iq, 0), **kwargs),
+            # dK/dV: one full-S block per batch, revisited (hence
+            # accumulated) across the minor q-block grid axis
+            pl.BlockSpec((1, S_pad, W), lambda b, iq: (b, 0, 0), **kwargs),
+            pl.BlockSpec((1, S_pad, W), lambda b, iq: (b, 0, 0), **kwargs),
+        ),
+        interpret=interpret,
+        **extra,
+    )(qkv, qkv, qkv, g, bias)
+    dqkv = jnp.concatenate(
+        [dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1
+    )
+    return dqkv[:, :S, :]
+
+
 def _packed_fwd(qkv, num_heads, key_padding_mask, block_q, interpret):
     out = _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret)
     return out, (qkv, key_padding_mask)
 
 
 def _packed_bwd(num_heads, block_q, interpret, residuals, g):
-    # backward recomputes through XLA attention (correct grads; the Pallas
-    # speedup matters most in the no-backward sampling cascade)
     qkv, mask = residuals
-    _, vjp = jax.vjp(lambda a: _packed_reference(a, num_heads, mask), qkv)
-    (dqkv,) = vjp(g)
+    dqkv = _packed_backward(qkv, g, num_heads, mask, block_q, interpret)
     return (dqkv, None)
 
 
