@@ -70,20 +70,56 @@ def main(argv=None):
         print(f"wrote {len(uids)} solids to {args.output}; split -> {split_path}")
         return
 
-    # OCC-backed STEP extraction
-    try:
-        from brepgen_tpu.geometry.occ_extract import process_step_dir
-    except ImportError as e:
-        raise SystemExit(
-            "STEP extraction needs pythonocc-core + occwl (not installed); "
-            "use --synthetic N for the analytic dataset. "
-            f"({e})"
-        )
     roots = None
     if args.uid_list:
         with open(args.uid_list) as f:
             roots = [line.strip() for line in f if line.strip()]
-    process_step_dir(args.input, args.output, args.option, roots=roots)
+
+    # OCC-backed STEP extraction when pythonocc is installed; otherwise the
+    # native reader covers B-spline-geometry B-reps (our own exports)
+    try:
+        from brepgen_tpu.geometry.occ_extract import process_step_dir
+
+        process_step_dir(args.input, args.output, args.option, roots=roots)
+        return
+    except ImportError:
+        pass
+    print("pythonocc not installed: extracting with the native STEP reader "
+          "(B-spline geometry subset)")
+    n_ok = native_process_dir(args.input, args.output, roots=roots)
+    print(f"extracted {n_ok} solids natively")
+
+
+def native_process_dir(in_dir, out_dir, roots=None) -> int:
+    from brepgen_tpu.geometry.native_extract import extract_step_file
+
+    paths = []
+    for base in roots if roots is not None else [in_dir]:
+        if os.path.isfile(base):
+            paths.append(base)
+            continue
+        for root, _dirs, files in os.walk(base):
+            for f in sorted(files):
+                if f.lower().endswith((".step", ".stp")):
+                    paths.append(os.path.join(root, f))
+    n_ok = 0
+    for path in paths:
+        try:
+            data = extract_step_file(path)
+        except Exception:  # noqa: BLE001 -- skip-on-failure parity
+            continue
+        if data is None:
+            continue
+        uid = data["uid"]
+        try:
+            shard = str(math.floor(int(uid.split(".")[0]) / 10000)).zfill(4)
+        except ValueError:
+            shard = ""
+        os.makedirs(os.path.join(out_dir, shard), exist_ok=True)
+        with open(os.path.join(out_dir, shard, uid), "wb") as f:
+            pickle.dump(data, f)
+        n_ok += 1
+    return n_ok
 
 
 if __name__ == "__main__":

@@ -1,5 +1,7 @@
 """Geometry kernel tests: B-spline fitting, trimming, STL/PLY/STEP I/O."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -163,6 +165,55 @@ def test_vertices_from_edges_direction_robust():
     verts = vertices_from_edges(data["edge_wcs"], adj)
     # per-id positions are unchanged by how the pair was stored
     np.testing.assert_allclose(verts, data["corner_unique"], atol=5e-2)
+
+
+@pytest.mark.parametrize("maker", [make_cuboid, lambda: make_prism(6)])
+def test_native_step_extraction_roundtrip(tmp_path, maker):
+    """Full native loop with no CAD kernel: B-rep -> topological STEP ->
+    native reader -> schema pkl (reference needs OCC for this path,
+    process_brep.py:13-231)."""
+    from brepgen_tpu.data.schema import validate_brep
+    from brepgen_tpu.geometry.native_extract import extract_step_file
+
+    data = maker()
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"], data["edgeCorner_adj"]
+    )
+    path = str(tmp_path / "solid.step")
+    solid.write_step(path)
+
+    sample = extract_step_file(path)
+    assert sample is not None
+    validate_brep(sample)
+    assert len(sample["surf_wcs"]) == len(data["surf_wcs"])
+    assert len(sample["edge_wcs"]) == len(data["edge_wcs"])
+    assert len(sample["corner_unique"]) == len(data["corner_unique"])
+    # geometry survives fit -> STEP -> parse -> resample (both sides are
+    # normalized to [-1,1]^3 so grids are directly comparable)
+    assert np.abs(sample["surf_wcs"] - data["surf_wcs"]).max() < 5e-2
+    # adjacency cardinalities match
+    for got, want in zip(sample["faceEdge_adj"], data["faceEdge_adj"]):
+        assert len(got) == len(want)
+
+
+def test_native_process_dir_cli(tmp_path):
+    """process_main's native backend extracts a directory of exported STEPs."""
+    from brepgen_tpu.cli.process_main import native_process_dir
+    from brepgen_tpu.data import load_brep_pkl
+
+    in_dir = tmp_path / "steps"
+    os.makedirs(in_dir)
+    for i, maker in enumerate([make_cuboid, lambda: make_prism(5)]):
+        data = maker()
+        solid = construct_brep(
+            data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"],
+            data["edgeCorner_adj"],
+        )
+        solid.write_step(str(in_dir / f"{i:08d}.step"))
+    out_dir = str(tmp_path / "parsed")
+    assert native_process_dir(str(in_dir), out_dir) == 2
+    sample = load_brep_pkl(os.path.join(out_dir, "0000", "00000000.pkl"))
+    assert sample["uid"] == "00000000.pkl"
 
 
 def test_prism_cap_trimming():
