@@ -173,9 +173,17 @@ def fused_set_attention_packed(
     return _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret)
 
 
+def _needs_kv_streaming(S, W, itemsize):
+    return S * W * itemsize > PACKED_RESIDENT_BYTES
+
+
 def _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret):
     B, S, W3 = qkv.shape
     W = W3 // 3
+    if _needs_kv_streaming(S, W, qkv.dtype.itemsize) and pltpu is not None:
+        return _packed_flash_forward(
+            qkv, num_heads, key_padding_mask, None, None, interpret
+        )
     if block_q is None:
         block_q = default_block_q(S)
     S_pad = _round_up(S, block_q)
@@ -209,6 +217,117 @@ def _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret):
             pl.BlockSpec((1, 1, S_pad), lambda b, iq: (b, 0, 0), **kwargs),
         ],
         out_specs=pl.BlockSpec((1, block_q, W), lambda b, iq: (b, iq, 0), **kwargs),
+        interpret=interpret,
+        **extra,
+    )(qkv, qkv, qkv, bias)
+    return out[:, :S, :]
+
+
+# Largest single full-S K (or V) column-block, in bytes, that the resident
+# packed kernel keeps in VMEM; above this the K-chunked (online-softmax)
+# variant streams K/V instead. 4 MB ~= the measured v5e fallback point
+# (S ~2700 at W=768 bf16) with double-buffering headroom.
+PACKED_RESIDENT_BYTES = 4 * 1024 * 1024
+
+
+def _packed_flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, H, nk
+):
+    """K-chunked online-softmax variant for sequences whose full-S K/V rows
+    exceed VMEM. Same packed layout as ``_packed_kernel`` (column-blocks of
+    the [B, S, 3W] projection output, heads looped in-kernel), but the grid
+    gains a minor k-chunk axis and softmax runs as a streaming reduction:
+    per-head running max ``m`` and normalizer ``l`` (f32 scratch, lanes are
+    broadcast copies) rescale the f32 accumulator between chunks.
+    """
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]          # [bq, W]
+    k = k_ref[0]          # [bk, W]
+    v = v_ref[0]
+    bias = bias_ref[0]    # [1, bk]
+    W = q.shape[-1]
+    D = W // H
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias                                   # [bq, bk] f32
+        m_prev = m_ref[h]                                  # [bq, 128]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)                    # [bq, 128]
+        p = jnp.exp(s - m_cur[:, :1])                      # [bq, bk]
+        l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[h] = m_cur
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            o_ref[0, :, sl] = (acc_ref[:, sl] / l_ref[h][:, :1]).astype(o_ref.dtype)
+
+
+def _packed_flash_forward(qkv, num_heads, key_padding_mask, block_q, block_k,
+                          interpret):
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    if block_q is None:
+        block_q = 512
+    if block_k is None:
+        block_k = 512
+    # one padded length must tile both the q- and k-grids
+    step = max(block_q, block_k)
+    assert step % min(block_q, block_k) == 0
+    S_pad = _round_up(S, step)
+
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((B, S), bool)
+    if S_pad != S:
+        qkv = jnp.pad(qkv, ((0, 0), (0, S_pad - S), (0, 0)))
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, S_pad - S)), constant_values=True
+        )
+    bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)[:, None, :]
+
+    kwargs = dict(memory_space=_MEMSPACE) if _MEMSPACE is not None else {}
+    extra = {}
+    if pltpu is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    scale = 1.0 / ((W // num_heads) ** 0.5)
+    nk = S_pad // block_k
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_flash_kernel, scale=scale, H=num_heads, nk=nk
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, W), qkv.dtype),
+        grid=(B, S_pad // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, W), lambda b, iq, ik: (b, iq, 0), **kwargs),
+            pl.BlockSpec((1, block_k, W), lambda b, iq, ik: (b, ik, 1), **kwargs),
+            pl.BlockSpec((1, block_k, W), lambda b, iq, ik: (b, ik, 2), **kwargs),
+            pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik), **kwargs),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, W), lambda b, iq, ik: (b, iq, 0), **kwargs
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, W), jnp.float32),
+            pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
+            pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
+        ],
         interpret=interpret,
         **extra,
     )(qkv, qkv, qkv, bias)
@@ -339,6 +458,14 @@ def _packed_fwd(qkv, num_heads, key_padding_mask, block_q, interpret):
 
 def _packed_bwd(num_heads, block_q, interpret, residuals, g):
     qkv, mask = residuals
+    B, S, W3 = qkv.shape
+    if _needs_kv_streaming(S, W3 // 3, qkv.dtype.itemsize):
+        # training never reaches these lengths (max 60x30 tokens); keep a
+        # correct recompute-through-XLA fallback rather than a second
+        # streaming kernel nothing exercises
+        _, vjp = jax.vjp(lambda x: _packed_reference(x, num_heads, mask), qkv)
+        (dqkv,) = vjp(g)
+        return (dqkv, None)
     dqkv = _packed_backward(qkv, g, num_heads, mask, block_q, interpret)
     return (dqkv, None)
 

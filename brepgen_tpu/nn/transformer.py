@@ -53,27 +53,14 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
 
         if self.attn_impl in ("pallas", "pallas_interpret"):
-            from brepgen_tpu.kernels.attention import (
-                fused_set_attention,
-                fused_set_attention_packed,
-            )
+            from brepgen_tpu.kernels.attention import fused_set_attention_packed
 
             interp = self.attn_impl == "pallas_interpret"
             # packed kernel consumes the projection output directly -- no
-            # head transpose, feature split, or head-dim padding in HBM --
-            # but keeps full-S K/V rows (all heads) resident in VMEM, so
-            # long sequences fall back to the per-head kernel
-            if S * self.width * 2 <= 4 * 1024 * 1024:
-                out = fused_set_attention_packed(
-                    qkv, H, key_padding_mask, None, interp
-                )
-            else:
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-                out = fused_set_attention(
-                    split(q), split(k), split(v), key_padding_mask, None, interp
-                )
-                out = out.transpose(0, 2, 1, 3).reshape(B, S, self.width)
+            # head transpose, feature split, or head-dim padding in HBM;
+            # it streams K/V in chunks (online softmax) once full-S rows
+            # would exceed VMEM, so every sequence length stays packed
+            out = fused_set_attention_packed(qkv, H, key_padding_mask, None, interp)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)

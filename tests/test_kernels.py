@@ -121,3 +121,49 @@ def test_transformer_with_pallas_impl():
     want = net_x.apply(params, (z, pos), t, mask)
     got = net_p.apply(params, (z, pos), t, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_packed_flash_matches_reference():
+    """K-chunked (online-softmax) packed path vs XLA, masked and not."""
+    from brepgen_tpu.kernels.attention import (
+        _packed_flash_forward,
+        _packed_reference,
+    )
+
+    key = jax.random.PRNGKey(7)
+    B, S, W, H = 2, 70, 48, 3
+    qkv = jax.random.normal(key, (B, S, 3 * W))
+    for mask in (None, jnp.zeros((B, S), bool).at[:, 50:].set(True)):
+        want = _packed_reference(qkv, H, mask)
+        # block_q 32, block_k 16 -> 5 k-chunks with a ragged tail
+        got = _packed_flash_forward(qkv, H, mask, 32, 16, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_packed_dispatch_streams_long_sequences():
+    """Above PACKED_RESIDENT_BYTES the public packed entry point must route
+    through the streaming kernel and still match the reference (and its
+    backward must fall back to the recompute VJP)."""
+    from brepgen_tpu.kernels import attention as A
+
+    key = jax.random.PRNGKey(8)
+    B, S, W, H = 1, 40, 32, 2
+    qkv = jax.random.normal(key, (B, S, 3 * W))
+    mask = jnp.zeros((B, S), bool).at[:, 33:].set(True)
+    old = A.PACKED_RESIDENT_BYTES
+    A.PACKED_RESIDENT_BYTES = 1  # force the streaming branch
+    try:
+        want = A._packed_reference(qkv, H, mask)
+        got = A.fused_set_attention_packed(qkv, H, mask, None, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+        gp = jax.grad(
+            lambda a: jnp.sum(A.fused_set_attention_packed(a, H, mask, None, True) ** 2)
+        )(qkv)
+        gx = jax.grad(lambda a: jnp.sum(A._packed_reference(a, H, mask) ** 2))(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4)
+    finally:
+        A.PACKED_RESIDENT_BYTES = old
