@@ -1,16 +1,20 @@
-"""Native (OCC-free) STEP -> pkl extraction for B-spline B-reps.
+"""Native (OCC-free) STEP -> pkl extraction.
 
 The reference extraction (``data_process/process_brep.py:13-231``) needs
-OpenCASCADE to load STEP and sample UV grids. For B-reps whose geometry is
-B-spline surfaces/curves — everything this framework exports, and any
-AP203/214 file in that subset — the native STEP reader plus the B-spline
-evaluators cover the same pipeline end to end:
+OpenCASCADE to load STEP and sample UV grids. The native STEP reader plus
+the B-spline and analytic evaluators cover the same pipeline end to end
+for the geometry mainstream AP203/214 files carry — B-spline surfaces and
+curves (everything this framework exports) and the elementary analytic
+classes (plane/cylinder/cone/sphere/torus, line/circle/ellipse):
 
-  parse topology (``step_reader``) -> sample each face's surface on a
-  32x32 uniform grid over its knot domain and each edge's curve at 32
-  parameters (the reference also samples the surface's FULL parametric
-  domain, ``convert_utils.py:290-313``) -> adjacency from the face bounds
-  -> ``build_brep_sample`` (normalization, corner merge, bboxes, schema).
+  parse topology (``step_reader``) -> sample each edge's curve at 32
+  parameters (analytic curves trimmed by their vertex points) -> sample
+  each face's surface on a 32x32 grid: B-splines over their full knot
+  domain (the reference samples the FULL parametric domain too,
+  ``convert_utils.py:290-313``), analytic surfaces over the UV box their
+  boundary samples span (what OCC's BRepTools::UVBounds returns) ->
+  adjacency from the face bounds -> ``build_brep_sample``
+  (normalization, corner merge, bboxes, schema).
 
 Used by ``process_main`` as the extraction backend when pythonocc is not
 installed.
@@ -23,7 +27,13 @@ from typing import Dict, Optional
 import numpy as np
 
 from brepgen_tpu.data.schema import build_brep_sample
-from brepgen_tpu.geometry.bspline import eval_bspline_curve, eval_bspline_surface
+from brepgen_tpu.geometry import analytic
+from brepgen_tpu.geometry.bspline import (
+    BsplineCurve,
+    BsplineSurface,
+    eval_bspline_curve,
+    eval_bspline_surface,
+)
 from brepgen_tpu.geometry.step_reader import StepBrep, load_brep
 
 MAX_FACE = 70  # reference process_brep.py:11
@@ -33,18 +43,33 @@ def _domain(knots: np.ndarray) -> tuple:
     return float(knots[0]), float(knots[-1])
 
 
-def sample_surface_grid(surface, num: int = 32) -> np.ndarray:
-    """[num, num, 3] points over the surface's full parametric domain."""
-    u0, u1 = _domain(surface.knots_u)
-    v0, v1 = _domain(surface.knots_v)
-    u = np.linspace(u0, u1, num)
-    v = np.linspace(v0, v1, num)
-    return eval_bspline_surface(surface, u, v)
+def sample_curve_grid(curve, p_start=None, p_end=None, num: int = 32) -> np.ndarray:
+    """[num, 3] points along an edge's curve.
+
+    B-splines sample their full knot domain; analytic curves are trimmed
+    by the edge's vertex positions (periodic convention in
+    ``analytic.curve_param_range``).
+    """
+    if isinstance(curve, BsplineCurve):
+        t0, t1 = _domain(curve.knots)
+        return eval_bspline_curve(curve, np.linspace(t0, t1, num))
+    t0, t1 = analytic.curve_param_range(curve, p_start, p_end)
+    return curve.eval(np.linspace(t0, t1, num))
 
 
-def sample_curve_grid(curve, num: int = 32) -> np.ndarray:
-    t0, t1 = _domain(curve.knots)
-    return eval_bspline_curve(curve, np.linspace(t0, t1, num))
+def sample_surface_grid(surface, boundary_pts=None, num: int = 32) -> np.ndarray:
+    """[num, num, 3] points over the face's parametric domain."""
+    if isinstance(surface, BsplineSurface):
+        u0, u1 = _domain(surface.knots_u)
+        v0, v1 = _domain(surface.knots_v)
+        return eval_bspline_surface(
+            surface, np.linspace(u0, u1, num), np.linspace(v0, v1, num)
+        )
+    (u0, u1), (v0, v1) = analytic.surface_uv_domain(surface, boundary_pts)
+    uu, vv = np.meshgrid(
+        np.linspace(u0, u1, num), np.linspace(v0, v1, num), indexing="ij"
+    )
+    return surface.eval(uu, vv)
 
 
 def extract_brep_sample(brep: StepBrep, uid: str, max_face: int = MAX_FACE) -> Optional[Dict]:
@@ -66,17 +91,32 @@ def extract_brep_sample(brep: StepBrep, uid: str, max_face: int = MAX_FACE) -> O
         for e in ids:
             edge_faces.setdefault(e, []).append(f)
 
-    # keep only manifold edges (exactly 2 distinct faces), compact ids
+    # sample every boundary edge once (analytic surface domains need the
+    # non-manifold ones too), then keep only manifold edges for the schema
+    edge_samples: Dict[int, np.ndarray] = {}
+    for e in edge_faces:
+        edge = brep.edges[e]
+        edge_samples[e] = sample_curve_grid(
+            edge.curve, brep.vertices[edge.v_start], brep.vertices[edge.v_end]
+        )
+
     kept = sorted(e for e, fs in edge_faces.items() if len(set(fs)) == 2)
     if not kept:
         return None
     compact = {e: i for i, e in enumerate(kept)}
 
-    surf_pnts = [sample_surface_grid(face.surface) for face in brep.faces]
+    surf_pnts = [
+        sample_surface_grid(
+            face.surface,
+            np.concatenate([edge_samples[e] for e in ids])
+            if ids else None,
+        )
+        for face, ids in zip(brep.faces, face_edges)
+    ]
     edge_pnts, corners = [], []
     for e in kept:
         edge = brep.edges[e]
-        edge_pnts.append(sample_curve_grid(edge.curve))
+        edge_pnts.append(edge_samples[e])
         corners.append(
             np.stack([brep.vertices[edge.v_start], brep.vertices[edge.v_end]])
         )

@@ -6,11 +6,15 @@ the reference's OCC-based STEP ingestion (``convert_utils.py:132-161``,
 MANIFOLD_SOLID_BREP, and reconstructs vertices, edge curves, trimmed faces
 (surface + ordered bounds), and the shell topology as numpy/NamedTuples.
 
-Covers the entity subset mainstream AP203/AP214 B-rep exporters emit
-(cartesian/vertex points, B-spline curves/surfaces with knots, edge
-curves, oriented edges, loops, face bounds, advanced/closed shell);
-entities outside the subset are skipped, not fatal — enough to re-import
-our own exports and validate them as sewn solids (``validate_solid``).
+Covers the entity subset mainstream AP203/AP214 B-rep exporters emit:
+cartesian/vertex points, B-spline curves/surfaces with knots, the
+elementary analytic classes (PLANE, CYLINDRICAL/CONICAL/SPHERICAL/
+TOROIDAL_SURFACE; LINE, CIRCLE, ELLIPSE via ``geometry/analytic.py``),
+edge curves, oriented edges, loops, face bounds, advanced/closed shell.
+Unsupported geometry raises per-entity (callers skip that file); stray
+entities outside the shell graph are ignored — enough to re-import our
+own exports and validate them as sewn solids (``validate_solid``), and
+to ingest typical external CAD exports whose geometry is analytic.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from typing import Dict, List, NamedTuple, Tuple
 
 import numpy as np
 
+from brepgen_tpu.geometry import analytic
 from brepgen_tpu.geometry.bspline import BsplineCurve, BsplineSurface
 
 
@@ -36,11 +41,11 @@ class Ref(int):
 class StepEdge(NamedTuple):
     v_start: int
     v_end: int
-    curve: BsplineCurve
+    curve: object  # BsplineCurve or an analytic curve (Line/Circle/Ellipse)
 
 
 class StepFace(NamedTuple):
-    surface: BsplineSurface
+    surface: object  # BsplineSurface or an analytic surface
     # per bound: (is_outer, [(edge_index, same_sense), ...])
     bounds: List[Tuple[bool, List[Tuple[int, bool]]]]
 
@@ -138,26 +143,65 @@ def _knot_vector(knots, mults) -> np.ndarray:
     return np.repeat(np.asarray(knots, float), np.asarray(mults, int))
 
 
-def _build_curve(ents, eid: int) -> BsplineCurve:
+def _frame(ents, eid: int) -> analytic.Frame:
+    """AXIS2_PLACEMENT_3D -> Frame (axis / ref_direction may be ``$``)."""
     e = ents[eid]
-    assert e.type == "B_SPLINE_CURVE_WITH_KNOTS", e.type
-    # args: name, degree, (ctrl refs), form, closed, self-intersect,
-    #       (mults), (knots), spec
-    degree = int(e.args[1])
-    ctrl = np.array([ents[r].args[1] for r in e.args[2]], float)
-    mults, knots = e.args[6], e.args[7]
-    return BsplineCurve(degree, _knot_vector(knots, mults), ctrl)
+    assert e.type == "AXIS2_PLACEMENT_3D", e.type
+    origin = ents[e.args[1]].args[1]
+    z = ents[e.args[2]].args[1] if isinstance(e.args[2], Ref) else None
+    x = ents[e.args[3]].args[1] if isinstance(e.args[3], Ref) else None
+    return analytic.make_frame(origin, z, x)
 
 
-def _build_surface(ents, eid: int) -> BsplineSurface:
+def _build_curve(ents, eid: int):
+    """Bounded curve geometry: B-spline, or an elementary analytic class
+    (trim parameters come later from the edge's vertices)."""
     e = ents[eid]
-    assert e.type == "B_SPLINE_SURFACE_WITH_KNOTS", e.type
-    du, dv = int(e.args[1]), int(e.args[2])
-    grid = np.array(
-        [[ents[r].args[1] for r in row] for row in e.args[3]], float
-    )
-    mu, mv, ku, kv = e.args[8], e.args[9], e.args[10], e.args[11]
-    return BsplineSurface(du, dv, _knot_vector(ku, mu), _knot_vector(kv, mv), grid)
+    if e.type == "B_SPLINE_CURVE_WITH_KNOTS":
+        # args: name, degree, (ctrl refs), form, closed, self-intersect,
+        #       (mults), (knots), spec
+        degree = int(e.args[1])
+        ctrl = np.array([ents[r].args[1] for r in e.args[2]], float)
+        mults, knots = e.args[6], e.args[7]
+        return BsplineCurve(degree, _knot_vector(knots, mults), ctrl)
+    if e.type == "LINE":
+        point = np.asarray(ents[e.args[1]].args[1], float)
+        vec_e = ents[e.args[2]]  # VECTOR(name, direction, magnitude)
+        direction = np.asarray(ents[vec_e.args[1]].args[1], float)
+        return analytic.Line(point, direction * float(vec_e.args[2]))
+    if e.type == "CIRCLE":
+        return analytic.Circle(_frame(ents, e.args[1]), float(e.args[2]))
+    if e.type == "ELLIPSE":
+        return analytic.Ellipse(
+            _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
+        )
+    raise ValueError(f"unsupported curve entity {e.type}")
+
+
+def _build_surface(ents, eid: int):
+    e = ents[eid]
+    if e.type == "B_SPLINE_SURFACE_WITH_KNOTS":
+        du, dv = int(e.args[1]), int(e.args[2])
+        grid = np.array(
+            [[ents[r].args[1] for r in row] for row in e.args[3]], float
+        )
+        mu, mv, ku, kv = e.args[8], e.args[9], e.args[10], e.args[11]
+        return BsplineSurface(du, dv, _knot_vector(ku, mu), _knot_vector(kv, mv), grid)
+    if e.type == "PLANE":
+        return analytic.Plane(_frame(ents, e.args[1]))
+    if e.type == "CYLINDRICAL_SURFACE":
+        return analytic.Cylinder(_frame(ents, e.args[1]), float(e.args[2]))
+    if e.type == "CONICAL_SURFACE":
+        return analytic.Cone(
+            _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
+        )
+    if e.type == "SPHERICAL_SURFACE":
+        return analytic.Sphere(_frame(ents, e.args[1]), float(e.args[2]))
+    if e.type == "TOROIDAL_SURFACE":
+        return analytic.Torus(
+            _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
+        )
+    raise ValueError(f"unsupported surface entity {e.type}")
 
 
 def load_brep(path: str) -> StepBrep:

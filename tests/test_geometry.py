@@ -250,3 +250,144 @@ def test_sample_surface_uniform():
     near_big = (pts[:, 0] < 5).sum()
     assert near_big > 1900
     assert np.isfinite(pts).all()
+
+
+# ---------------------------------------------------------- analytic STEP
+
+
+def test_analytic_eval_inverse_roundtrip():
+    """Every analytic surface/curve inverts its own parameterization."""
+    from brepgen_tpu.geometry import analytic as an
+
+    fr = an.make_frame([1.0, -2.0, 0.5], z=[0.3, 0.1, 1.0], x=[1.0, 0.2, 0.0])
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0.3, 5.8, 40)  # stay off the 0/2pi wrap
+    v = rng.uniform(-1.0, 1.0, 40)
+    cases = [
+        (an.Plane(fr), u, v),
+        (an.Cylinder(fr, 1.7), u, v),
+        (an.Cone(fr, 2.0, 0.4), u, v),
+        (an.Sphere(fr, 1.3), u, v * 1.2),  # latitude in (-pi/2, pi/2)
+        (an.Torus(fr, 3.0, 0.8), u, u),    # both params periodic
+    ]
+    for surf, uu, vv in cases:
+        pts = surf.eval(uu, vv)
+        ub, vb = surf.uv_of(pts)
+        np.testing.assert_allclose(ub, uu, atol=1e-9, err_msg=type(surf).__name__)
+        np.testing.assert_allclose(vb, vv, atol=1e-9, err_msg=type(surf).__name__)
+
+    line = an.Line(np.array([0.0, 1.0, 2.0]), np.array([0.5, 0.5, 0.0]))
+    t = rng.uniform(-3, 3, 20)
+    np.testing.assert_allclose(line.t_of(line.eval(t)), t, atol=1e-12)
+    for curve in (an.Circle(fr, 2.2), an.Ellipse(fr, 2.0, 0.7)):
+        np.testing.assert_allclose(curve.t_of(curve.eval(u)), u, atol=1e-9)
+
+
+def test_periodic_range_and_trim():
+    from brepgen_tpu.geometry import analytic as an
+
+    # full revolution: dense angles everywhere
+    lo, hi = an.periodic_range(np.linspace(0, 2 * np.pi, 64, endpoint=False))
+    assert (lo, hi) == (0.0, 2 * np.pi)
+    # quarter patch away from the wrap
+    lo, hi = an.periodic_range(np.linspace(1.0, 2.5, 16))
+    assert abs(lo - 1.0) < 1e-9 and abs(hi - 2.5) < 1e-9
+    # patch straddling 0: contiguous domain must unwrap past 2pi
+    ang = np.concatenate([np.linspace(5.8, 6.28, 8), np.linspace(0.0, 0.5, 8)])
+    lo, hi = an.periodic_range(ang)
+    assert abs(lo - 5.8) < 1e-9 and abs(hi - (0.5 + 2 * np.pi)) < 1e-9
+
+    fr = an.make_frame([0, 0, 0])
+    circ = an.Circle(fr, 1.0)
+    # closed edge (same endpoints) -> full circle
+    p = circ.eval(np.array([0.0]))[0]
+    assert an.curve_param_range(circ, p, p) == (0.0, 2 * np.pi)
+    # wrap: from 5.5 rad forward to 1.0 rad -> t1 unwrapped past 2pi
+    t0, t1 = an.curve_param_range(
+        circ, circ.eval(np.array([5.5]))[0], circ.eval(np.array([1.0]))[0]
+    )
+    assert abs(t0 - 5.5) < 1e-9 and abs(t1 - (1.0 + 2 * np.pi)) < 1e-9
+
+
+def _capped_cylinder_step(path, r=2.0, h=3.0):
+    """Hand-written minimal AP203 capped cylinder: one cylindrical lateral
+    face + two planar caps, bounded by two circular edges (each manifold:
+    lateral + one cap)."""
+    lines = [
+        "#1=CARTESIAN_POINT('',(0.,0.,0.));",
+        f"#2=CARTESIAN_POINT('',(0.,0.,{h}));",
+        "#3=DIRECTION('',(0.,0.,1.));",
+        "#4=DIRECTION('',(1.,0.,0.));",
+        "#5=AXIS2_PLACEMENT_3D('',#1,#3,#4);",
+        "#6=AXIS2_PLACEMENT_3D('',#2,#3,#4);",
+        f"#7=CYLINDRICAL_SURFACE('',#5,{r});",
+        "#8=PLANE('',#5);",
+        "#9=PLANE('',#6);",
+        f"#10=CIRCLE('',#5,{r});",
+        f"#11=CIRCLE('',#6,{r});",
+        f"#12=CARTESIAN_POINT('',({r},0.,0.));",
+        f"#13=CARTESIAN_POINT('',({r},0.,{h}));",
+        "#14=VERTEX_POINT('',#12);",
+        "#15=VERTEX_POINT('',#13);",
+        "#16=EDGE_CURVE('',#14,#14,#10,.T.);",
+        "#17=EDGE_CURVE('',#15,#15,#11,.T.);",
+        "#18=ORIENTED_EDGE('',*,*,#16,.T.);",
+        "#19=ORIENTED_EDGE('',*,*,#17,.T.);",
+        "#20=EDGE_LOOP('',(#18));",
+        "#21=EDGE_LOOP('',(#19));",
+        "#22=FACE_OUTER_BOUND('',#20,.T.);",
+        "#23=FACE_OUTER_BOUND('',#21,.T.);",
+        "#24=FACE_BOUND('',#20,.F.);",
+        "#25=ADVANCED_FACE('',(#22),#8,.F.);",   # bottom cap
+        "#26=ADVANCED_FACE('',(#23),#9,.T.);",   # top cap
+        "#27=ADVANCED_FACE('',(#23,#24),#7,.T.);",  # lateral
+        "#28=CLOSED_SHELL('',(#25,#26,#27));",
+        "#29=MANIFOLD_SOLID_BREP('cyl',#28);",
+    ]
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write("\n".join(lines))
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+
+
+def test_native_extraction_analytic_cylinder(tmp_path):
+    """External-style STEP with purely analytic geometry extracts natively."""
+    from brepgen_tpu.geometry.native_extract import extract_step_file
+    from brepgen_tpu.geometry.step_reader import load_brep
+
+    r, h = 2.0, 3.0
+    path = str(tmp_path / "cyl.step")
+    _capped_cylinder_step(path, r, h)
+
+    brep = load_brep(path)
+    assert len(brep.faces) == 3 and len(brep.edges) == 2
+
+    # raw sampling geometry (pre-normalization)
+    from brepgen_tpu.geometry.native_extract import (
+        sample_curve_grid,
+        sample_surface_grid,
+    )
+
+    circles = [
+        sample_curve_grid(e.curve, brep.vertices[e.v_start], brep.vertices[e.v_end])
+        for e in brep.edges
+    ]
+    for e in circles:  # full circles at their heights
+        np.testing.assert_allclose(np.hypot(e[:, 0], e[:, 1]), r, atol=1e-9)
+    boundary = np.concatenate(circles)
+    # lateral face: every grid point on the cylinder, full height spanned
+    lat = sample_surface_grid(brep.faces[2].surface, boundary).reshape(-1, 3)
+    np.testing.assert_allclose(np.hypot(lat[:, 0], lat[:, 1]), r, atol=1e-9)
+    assert abs(lat[:, 2].min() - 0.0) < 1e-9 and abs(lat[:, 2].max() - h) < 1e-9
+    # bottom cap: planar at z=0, spanning the boundary circle's box
+    cap = sample_surface_grid(brep.faces[0].surface, circles[0]).reshape(-1, 3)
+    np.testing.assert_allclose(cap[:, 2], 0.0, atol=1e-9)
+    # UV box from 32 boundary samples: within ~(pi/32)^2/2 of the exact box
+    assert abs(cap[:, 0].max() - r) < 0.01 * r and abs(cap[:, 0].min() + r) < 0.01 * r
+
+    # and the full schema pipeline accepts it
+    data = extract_step_file(path)
+    assert data is not None
+    assert np.asarray(data["surf_wcs"]).shape == (3, 32, 32, 3)
+    assert np.asarray(data["edge_wcs"]).shape == (2, 32, 3)
+    assert np.asarray(data["edgeFace_adj"]).shape == (2, 2)
