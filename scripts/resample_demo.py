@@ -1,0 +1,106 @@
+"""Re-sample from saved demo checkpoints at configurable z_threshold.
+
+Supports the validity-scaling evidence (VERDICT r1 item 10): after
+``train_synthetic_demo.py`` saved its checkpoints, sweep the edge-merge
+``z_threshold`` (the reference exposes it in eval_config.yaml:10) and
+batch count without retraining, reporting validity + failure taxonomy
+per setting as one JSON line each.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brepgen_tpu.nn import EdgeVAE, SurfVAE, make_edgepos_net, make_edgez_net, \
+    make_surfpos_net, make_surfz_net
+from brepgen_tpu.sampling import CascadeConfig, build_cascade
+from brepgen_tpu.train.checkpoint import load_params
+from brepgen_tpu.train.vae_train import make_decoder_fn
+
+P = argparse.ArgumentParser()
+P.add_argument("--ckpt", type=str, required=True, help="demo_out/ckpt dir")
+P.add_argument("--out", type=str, required=True)
+P.add_argument("--max_face", type=int, default=10)
+P.add_argument("--max_edge", type=int, default=8)
+P.add_argument("--sample_batches", type=int, default=4)
+P.add_argument("--z_thresholds", type=float, nargs="+", default=[0.1, 0.2, 0.3, 0.5])
+P.add_argument("--width", type=int, default=256)
+args = P.parse_args()
+
+NF, NE = args.max_face, args.max_edge
+DTYPE = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+kw = dict(width=args.width, num_heads=8, ffn_width=512, num_layers=6, dtype=DTYPE)
+
+nets = {
+    "surfpos": make_surfpos_net(**kw),
+    "surfz": make_surfz_net(**kw),
+    "edgepos": make_edgepos_net(**kw),
+    "edgez": make_edgez_net(**kw),
+}
+key = jax.random.PRNGKey(0)
+shapes = {
+    "surfpos": [(1, 4, 6)],
+    "surfz": [(1, 4, 48), (1, 4, 6)],
+    "edgepos": [(1, 12, 6), (1, 12, 6), (1, 12, 48)],
+    "edgez": [(1, 12, 12), (1, 12, 6), (1, 12, 6), (1, 12, 6), (1, 12, 48)],
+}
+net_params = {}
+for stage, net in nets.items():
+    template = net.init(key, tuple(jnp.zeros(s) for s in shapes[stage]),
+                        jnp.zeros((1,), jnp.int32))
+    net_params[stage] = load_params(os.path.join(args.ckpt, stage), template)
+
+surf_vae = SurfVAE(block_out_channels=(32, 64, 128, 128), dtype=DTYPE)
+edge_vae = EdgeVAE(block_out_channels=(32, 64, 128), dtype=DTYPE)
+sv_t = surf_vae.init(key, jnp.zeros((1, 32, 32, 3)))
+ev_t = edge_vae.init(key, jnp.zeros((1, 32, 3)))
+surf_vae_params = load_params(os.path.join(args.ckpt, "surf_vae"), sv_t)
+edge_vae_params = load_params(os.path.join(args.ckpt, "edge_vae"), ev_t)
+
+cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE)
+cascade = build_cascade(
+    nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
+    make_decoder_fn(edge_vae), edge_vae_params, cfg,
+)
+
+from brepgen_tpu.cli.sample_main import make_padded_decoder, process_one
+
+surf_dec = make_padded_decoder(make_decoder_fn(surf_vae), surf_vae_params, (4, 4, 3))
+edge_dec = make_padded_decoder(make_decoder_fn(edge_vae), edge_vae_params, (4, 3))
+
+# generate once, post-process per threshold (thresholds only affect the host side)
+batches = []
+for bi in range(args.sample_batches):
+    out = cascade(jax.random.PRNGKey(5000 + bi))
+    batches.append({k: np.asarray(v) for k, v in out.items()})
+
+for z_thr in args.z_thresholds:
+    save_dir = os.path.join(args.out, f"z{z_thr}")
+    os.makedirs(save_dir, exist_ok=True)
+    produced, attempted, failures = 0, 0, {}
+    t0 = time.time()
+    for sample_np in batches:
+        for b in range(cfg.batch_size):
+            attempted += 1
+            name, err = process_one(sample_np, b, surf_dec, edge_dec, z_thr, save_dir)
+            if name is not None:
+                produced += 1
+            else:
+                k_ = err.split(":")[0]
+                failures[k_] = failures.get(k_, 0) + 1
+    print(json.dumps({
+        "z_threshold": z_thr,
+        "attempted": attempted,
+        "valid_breps": produced,
+        "validity": round(produced / attempted, 3),
+        "failures": failures,
+        "postprocess_s": round(time.time() - t0, 1),
+    }), flush=True)
