@@ -31,8 +31,12 @@ from brepgen_tpu.geometry import analytic
 from brepgen_tpu.geometry.bspline import (
     BsplineCurve,
     BsplineSurface,
+    NurbsCurve,
+    NurbsSurface,
     eval_bspline_curve,
     eval_bspline_surface,
+    eval_nurbs_curve,
+    eval_nurbs_surface,
 )
 from brepgen_tpu.geometry.step_reader import StepBrep, load_brep
 
@@ -50,21 +54,25 @@ def sample_curve_grid(curve, p_start=None, p_end=None, num: int = 32) -> np.ndar
     by the edge's vertex positions (periodic convention in
     ``analytic.curve_param_range``).
     """
-    if isinstance(curve, BsplineCurve):
+    if isinstance(curve, (BsplineCurve, NurbsCurve)):
         t0, t1 = _domain(curve.knots)
-        return eval_bspline_curve(curve, np.linspace(t0, t1, num))
+        t = np.linspace(t0, t1, num)
+        if isinstance(curve, NurbsCurve):
+            return eval_nurbs_curve(curve, t)
+        return eval_bspline_curve(curve, t)
     t0, t1 = analytic.curve_param_range(curve, p_start, p_end)
     return curve.eval(np.linspace(t0, t1, num))
 
 
 def sample_surface_grid(surface, boundary_pts=None, num: int = 32) -> np.ndarray:
     """[num, num, 3] points over the face's parametric domain."""
-    if isinstance(surface, BsplineSurface):
+    if isinstance(surface, (BsplineSurface, NurbsSurface)):
         u0, u1 = _domain(surface.knots_u)
         v0, v1 = _domain(surface.knots_v)
-        return eval_bspline_surface(
-            surface, np.linspace(u0, u1, num), np.linspace(v0, v1, num)
-        )
+        u, v = np.linspace(u0, u1, num), np.linspace(v0, v1, num)
+        if isinstance(surface, NurbsSurface):
+            return eval_nurbs_surface(surface, u, v)
+        return eval_bspline_surface(surface, u, v)
     (u0, u1), (v0, v1) = analytic.surface_uv_domain(surface, boundary_pts)
     uu, vv = np.meshgrid(
         np.linspace(u0, u1, num), np.linspace(v0, v1, num), indexing="ij"

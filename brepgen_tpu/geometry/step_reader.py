@@ -25,7 +25,12 @@ from typing import Dict, List, NamedTuple, Tuple
 import numpy as np
 
 from brepgen_tpu.geometry import analytic
-from brepgen_tpu.geometry.bspline import BsplineCurve, BsplineSurface
+from brepgen_tpu.geometry.bspline import (
+    BsplineCurve,
+    BsplineSurface,
+    NurbsCurve,
+    NurbsSurface,
+)
 
 
 class StepEntity(NamedTuple):
@@ -153,10 +158,58 @@ def _frame(ents, eid: int) -> analytic.Frame:
     return analytic.make_frame(origin, z, x)
 
 
+def _complex_components(e: StepEntity) -> Dict[str, list]:
+    """A complex (multi-supertype) record ``(A (...) B (...) ...)`` ->
+    {supertype: tokenized args}. Used for rational B-splines, which STEP
+    spells as B_SPLINE_*() + B_SPLINE_*_WITH_KNOTS() + RATIONAL_B_SPLINE_*()."""
+    items = _tokenize(e.args[0])[0]
+    comps: Dict[str, list] = {}
+    i = 0
+    while i < len(items):
+        name = items[i]
+        if i + 1 < len(items) and isinstance(items[i + 1], list):
+            comps[name] = items[i + 1]
+            i += 2
+        else:
+            comps[name] = []
+            i += 1
+    return comps
+
+
+def _build_rational_curve(ents, comps):
+    base = comps["B_SPLINE_CURVE"]          # degree, ctrl, form, closed, selfint
+    wk = comps["B_SPLINE_CURVE_WITH_KNOTS"]  # mults, knots, spec
+    degree = int(base[0])
+    ctrl = np.array([ents[r].args[1] for r in base[1]], float)
+    knots = _knot_vector(wk[1], wk[0])
+    weights = comps.get("RATIONAL_B_SPLINE_CURVE")
+    if weights is None:
+        return BsplineCurve(degree, knots, ctrl)
+    return NurbsCurve(degree, knots, ctrl, np.asarray(weights[0], float))
+
+
+def _build_rational_surface(ents, comps):
+    base = comps["B_SPLINE_SURFACE"]          # du, dv, ctrl grid, form, ...
+    wk = comps["B_SPLINE_SURFACE_WITH_KNOTS"]  # mu, mv, ku, kv, spec
+    du, dv = int(base[0]), int(base[1])
+    grid = np.array([[ents[r].args[1] for r in row] for row in base[2]], float)
+    ku = _knot_vector(wk[2], wk[0])
+    kv = _knot_vector(wk[3], wk[1])
+    weights = comps.get("RATIONAL_B_SPLINE_SURFACE")
+    if weights is None:
+        return BsplineSurface(du, dv, ku, kv, grid)
+    return NurbsSurface(du, dv, ku, kv, grid, np.asarray(weights[0], float))
+
+
 def _build_curve(ents, eid: int):
-    """Bounded curve geometry: B-spline, or an elementary analytic class
-    (trim parameters come later from the edge's vertices)."""
+    """Bounded curve geometry: B-spline (incl. rational), or an elementary
+    analytic class (trim parameters come later from the edge's vertices)."""
     e = ents[eid]
+    if e.type == "" and e.args:  # complex record
+        comps = _complex_components(e)
+        if "B_SPLINE_CURVE_WITH_KNOTS" in comps:
+            return _build_rational_curve(ents, comps)
+        raise ValueError(f"unsupported complex curve entity #{eid}")
     if e.type == "B_SPLINE_CURVE_WITH_KNOTS":
         # args: name, degree, (ctrl refs), form, closed, self-intersect,
         #       (mults), (knots), spec
@@ -180,6 +233,11 @@ def _build_curve(ents, eid: int):
 
 def _build_surface(ents, eid: int):
     e = ents[eid]
+    if e.type == "" and e.args:  # complex record
+        comps = _complex_components(e)
+        if "B_SPLINE_SURFACE_WITH_KNOTS" in comps:
+            return _build_rational_surface(ents, comps)
+        raise ValueError(f"unsupported complex surface entity #{eid}")
     if e.type == "B_SPLINE_SURFACE_WITH_KNOTS":
         du, dv = int(e.args[1]), int(e.args[2])
         grid = np.array(

@@ -391,3 +391,68 @@ def test_native_extraction_analytic_cylinder(tmp_path):
     assert np.asarray(data["surf_wcs"]).shape == (3, 32, 32, 3)
     assert np.asarray(data["edge_wcs"]).shape == (2, 32, 3)
     assert np.asarray(data["edgeFace_adj"]).shape == (2, 2)
+
+
+def _circle_nurbs_data(r):
+    """Quadratic NURBS exact full circle (4 arcs, 9 ctrl points)."""
+    s = np.sqrt(2) / 2
+    ctrl = np.array(
+        [[r, 0], [r, r], [0, r], [-r, r], [-r, 0], [-r, -r], [0, -r], [r, -r], [r, 0]],
+        float,
+    )
+    ctrl = np.concatenate([ctrl, np.zeros((9, 1))], axis=1)
+    weights = np.array([1, s, 1, s, 1, s, 1, s, 1])
+    knots = np.array([0, 0, 0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75, 1, 1, 1])
+    return ctrl, weights, knots
+
+
+def test_nurbs_exact_circle_and_cylinder():
+    from brepgen_tpu.geometry.bspline import (
+        NurbsCurve, NurbsSurface, eval_nurbs_curve, eval_nurbs_surface,
+    )
+
+    r = 1.5
+    ctrl, w, knots = _circle_nurbs_data(r)
+    pts = eval_nurbs_curve(NurbsCurve(2, knots, ctrl, w), np.linspace(0, 1, 100))
+    np.testing.assert_allclose(np.hypot(pts[:, 0], pts[:, 1]), r, atol=1e-12)
+
+    # cylinder patch: circle (rational u) x line (polynomial v)
+    grid = np.stack([ctrl, ctrl + np.array([0, 0, 2.0])], axis=1)  # [9, 2, 3]
+    wgrid = np.stack([w, w], axis=1)
+    surf = NurbsSurface(2, 1, knots, np.array([0.0, 0, 1, 1]), grid, wgrid)
+    g = eval_nurbs_surface(surf, np.linspace(0, 1, 20), np.linspace(0, 1, 5))
+    flat = g.reshape(-1, 3)
+    np.testing.assert_allclose(np.hypot(flat[:, 0], flat[:, 1]), r, atol=1e-12)
+    assert abs(flat[:, 2].min()) < 1e-12 and abs(flat[:, 2].max() - 2.0) < 1e-12
+
+
+def test_step_reader_rational_complex_entity(tmp_path):
+    """RATIONAL_B_SPLINE_CURVE complex records build exact NURBS."""
+    from brepgen_tpu.geometry.bspline import NurbsCurve, eval_nurbs_curve
+    from brepgen_tpu.geometry.step_reader import _build_curve, parse_step
+
+    r = 2.0
+    ctrl, w, _ = _circle_nurbs_data(r)
+    pts = "\n".join(
+        f"#{10 + i}=CARTESIAN_POINT('',({p[0]},{p[1]},{p[2]}));"
+        for i, p in enumerate(ctrl)
+    )
+    refs = ",".join(f"#{10 + i}" for i in range(9))
+    wstr = ",".join(str(x) for x in w)
+    body = (
+        "#1=(BOUNDED_CURVE()B_SPLINE_CURVE(2,(%s),.UNSPECIFIED.,.T.,.F.)"
+        "B_SPLINE_CURVE_WITH_KNOTS((3,2,2,2,3),(0.,0.25,0.5,0.75,1.),"
+        ".UNSPECIFIED.)CURVE()GEOMETRIC_REPRESENTATION_ITEM()"
+        "RATIONAL_B_SPLINE_CURVE((%s))REPRESENTATION_ITEM(''));" % (refs, wstr)
+    )
+    path = str(tmp_path / "rat.step")
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write(body + "\n" + pts)
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+
+    ents = parse_step(path)
+    curve = _build_curve(ents, 1)
+    assert isinstance(curve, NurbsCurve)
+    out = eval_nurbs_curve(curve, np.linspace(0, 1, 64))
+    np.testing.assert_allclose(np.hypot(out[:, 0], out[:, 1]), r, atol=1e-12)
