@@ -53,6 +53,9 @@ P.add_argument("--max_face", type=int, default=10)
 P.add_argument("--max_edge", type=int, default=8)
 P.add_argument("--sample_batches", type=int, default=4)
 P.add_argument("--family", type=str, default="all", choices=["all", "cuboid"])
+P.add_argument("--snapshots", type=float, nargs="*", default=[],
+               help="fractions of each denoiser budget to checkpoint "
+                    "(validity-vs-budget curve; resample via resample_demo.py)")
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
@@ -156,11 +159,14 @@ def train_stage(stage, net, step_fn, steps):
     opt = make_ldm_optimizer()
     state = init_state(params, opt)
     pool = make_pool(stage, args.pool)
+    snap_at = {max(1, int(round(steps * f))) - 1: f for f in args.snapshots if f < 1.0}
     last = None
     t0 = time.time()
     for i in range(steps):
         batch = pool[int(rng.integers(len(pool)))]
         state, m = step_fn(state, batch, jax.random.PRNGKey(1000 + i))
+        if i in snap_at:
+            snapshots.setdefault(snap_at[i], {})[stage] = jax.device_get(state.params)
         if i % 1000 == 0 or i == steps - 1:
             last = float(m["loss"])
             print(f"[{stage}] step {i}: loss {last:.4f} "
@@ -177,6 +183,7 @@ nets = {
 }
 opt = make_ldm_optimizer()
 net_params = {}
+snapshots = {}  # frac -> {stage: params} (fractional-budget checkpoints)
 print("== training denoisers ==", flush=True)
 net_params["surfpos"] = train_stage(
     "surfpos", nets["surfpos"],
@@ -203,6 +210,15 @@ save_params(ckpt_dir, surf_vae_params, "surf_vae")
 save_params(ckpt_dir, edge_vae_params, "edge_vae")
 for k, v in net_params.items():
     save_params(ckpt_dir, v, k)
+# fractional-budget denoiser snapshots (final VAEs shared) for the
+# validity-vs-training-budget curve
+for frac, stages in snapshots.items():
+    d = os.path.abspath(os.path.join(args.out, f"ckpt_f{frac:g}"))
+    os.makedirs(d, exist_ok=True)
+    save_params(d, surf_vae_params, "surf_vae")
+    save_params(d, edge_vae_params, "edge_vae")
+    for k, v in stages.items():
+        save_params(d, v, k)
 print("checkpoints saved to", ckpt_dir, flush=True)
 
 print("== sampling ==", flush=True)
