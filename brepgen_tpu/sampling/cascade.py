@@ -213,11 +213,7 @@ def build_cascade(
         surfz = run_full_schedule(surfz_eps, surfz)
         return surfpos, surf_mask, surf_keep, surfz
 
-    @jax.jit
-    def stage_edgepos(params, key: jax.Array, surfpos, surfz, surf_mask):
-        edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
-        k_noise = jax.random.fold_in(key, 1)
-
+    def _edgepos_eps(params, surfpos, surfz, surf_mask):
         raw_eps = make_stage_eps(
             "edgepos",
             params,
@@ -232,10 +228,25 @@ def build_cascade(
         def edgepos_eps(x, t):
             return raw_eps(flatten_face_edge(x), t).reshape(B, ns, ne, 6)
 
+        return edgepos_eps
+
+    # The PNDM and DDPM phases are SEPARATE jit programs (the handoff
+    # [B, ns, ne, 6] stays device-resident): halving the largest program
+    # keeps ABC-scale remote compiles inside one process's device-lease
+    # budget, at the cost of one extra dispatch per batch.
+    @jax.jit
+    def stage_edgepos_pndm(params, key: jax.Array, surfpos, surfz, surf_mask):
+        edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
+        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
         if fast:
-            return ddim_scan(edgepos_eps, edgepos, ddim_plan, clip_range=cfg.ddpm_clip)
-        edgepos = pndm_scan(edgepos_eps, edgepos, pndm_pos_plan)
-        return ddpm_scan(edgepos_eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
+            return ddim_scan(eps, edgepos, ddim_plan, clip_range=cfg.ddpm_clip)
+        return pndm_scan(eps, edgepos, pndm_pos_plan)
+
+    @jax.jit
+    def stage_edgepos_ddpm(params, key: jax.Array, edgepos, surfpos, surfz, surf_mask):
+        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
+        k_noise = jax.random.fold_in(key, 1)
+        return ddpm_scan(eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
 
     @jax.jit
     def stage_edgez(params, key: jax.Array, edgepos, surfpos, surfz, surf_keep):
@@ -293,9 +304,16 @@ def build_cascade(
     fp = repr(cfg)
     s_surfpos = wrap_stage(_aot, stage_surfpos, "surfpos", fp)
     s_surfz = wrap_stage(_aot, stage_surfz, "surfz", fp)
-    s_edgepos = wrap_stage(_aot, stage_edgepos, "edgepos", fp)
+    s_edgepos_pndm = wrap_stage(_aot, stage_edgepos_pndm, "edgepos_pndm", fp)
+    s_edgepos_ddpm = wrap_stage(_aot, stage_edgepos_ddpm, "edgepos_ddpm", fp)
     s_edgez = wrap_stage(_aot, stage_edgez, "edgez", fp)
     s_decode = wrap_stage(_aot, stage_decode, "decode", fp)
+
+    def s_edgepos(params, key, surfpos, surfz, surf_mask):
+        x = s_edgepos_pndm(params, key, surfpos, surfz, surf_mask)
+        if fast:  # DDIM covers the whole schedule in the first program
+            return x
+        return s_edgepos_ddpm(params, key, x, surfpos, surfz, surf_mask)
 
     if stage_times is not None:
         # measurement mode: synchronize around each stage and accumulate
@@ -320,6 +338,72 @@ def build_cascade(
         s_edgez = timed(s_edgez, "edgez")
         s_decode = timed(s_decode, "decode")
 
+    def precompile_stage(name: str) -> None:
+        """Force-compile ONE stage with zero-filled args of the production
+        shapes (and serialize it when an AOT cache is attached).
+
+        Exists because the remote TPU backend bounds a process's device
+        lifetime (~12 min observed); ABC-scale stage compiles chained in
+        one process exceed it. Chaining one-stage processes over the AOT
+        cache keeps every process under the bound; the final run is then
+        pure execution from deserialized executables.
+        """
+        key = jax.random.PRNGKey(0)
+        z = lambda *s: jnp.zeros(s)
+        zb = lambda *s: jnp.zeros(s, bool)
+        calls = {
+            "surfpos": lambda: s_surfpos(net_params["surfpos"], key),
+            "surfz": lambda: s_surfz(net_params["surfz"], key, z(B, ns, 6)),
+            "edgepos_pndm": lambda: s_edgepos_pndm(
+                net_params["edgepos"], key, z(B, ns, 6), z(B, ns, 48), zb(B, ns)
+            ),
+            "edgepos_ddpm": lambda: s_edgepos_ddpm(
+                net_params["edgepos"], key, z(B, ns, ne, 6), z(B, ns, 6),
+                z(B, ns, 48), zb(B, ns),
+            ),
+            "edgez": lambda: s_edgez(
+                net_params["edgez"], key, z(B, ns, ne, 6), z(B, ns, 6),
+                z(B, ns, 48), zb(B, ns),
+            ),
+            "decode": lambda: s_decode(
+                surf_vae_params, edge_vae_params, z(B, ns, 48), z(B, ns, ne, 18)
+            ),
+        }
+        jax.block_until_ready(calls[name]())
+
+    def run_stage_random(name: str, seed: int):
+        """Run ONE stage on fresh random inputs of the production shapes
+        (bench-only; fresh inputs defeat the remote backend's result
+        cache). Returns the stage's output pytree."""
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 6)
+        r = lambda k, *s: jax.random.normal(k, s)
+        calls = {
+            "surfpos": lambda: s_surfpos(net_params["surfpos"], ks[0]),
+            "surfz": lambda: s_surfz(
+                net_params["surfz"], ks[0], r(ks[1], B, ns, 6)
+            ),
+            "edgepos_pndm": lambda: s_edgepos_pndm(
+                net_params["edgepos"], ks[0], r(ks[1], B, ns, 6),
+                r(ks[2], B, ns, 48), jnp.zeros((B, ns), bool),
+            ),
+            "edgepos_ddpm": lambda: s_edgepos_ddpm(
+                net_params["edgepos"], ks[0], r(ks[1], B, ns, ne, 6),
+                r(ks[2], B, ns, 6), r(ks[3], B, ns, 48),
+                jnp.zeros((B, ns), bool),
+            ),
+            "edgez": lambda: s_edgez(
+                net_params["edgez"], ks[0], r(ks[1], B, ns, ne, 6),
+                r(ks[2], B, ns, 6), r(ks[3], B, ns, 48),
+                jnp.ones((B, ns), bool),
+            ),
+            "decode": lambda: s_decode(
+                surf_vae_params, edge_vae_params, r(ks[1], B, ns, 48),
+                r(ks[2], B, ns, ne, 18),
+            ),
+        }
+        return calls[name]()
+
     def cascade(key: jax.Array) -> Dict[str, jnp.ndarray]:
         keys = jax.random.split(key, 8)
         surfpos = s_surfpos(net_params["surfpos"], keys[0])
@@ -343,4 +427,6 @@ def build_cascade(
             "edge_ncs": edge_ncs,
         }
 
+    cascade.precompile_stage = precompile_stage
+    cascade.run_stage_random = run_stage_random
     return cascade
