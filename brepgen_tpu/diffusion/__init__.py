@@ -9,7 +9,9 @@ from brepgen_tpu.diffusion.ddpm import (
 from brepgen_tpu.diffusion.ddim import make_ddim_plan, ddim_scan, DDIMStepCoeffs
 from brepgen_tpu.diffusion.pndm import (
     make_pndm_plan,
+    pndm_init_carry,
     pndm_scan,
+    pndm_scan_carry,
     PNDMPlan,
 )
 
@@ -24,6 +26,8 @@ __all__ = [
     "ddim_scan",
     "DDIMStepCoeffs",
     "make_pndm_plan",
+    "pndm_init_carry",
     "pndm_scan",
+    "pndm_scan_carry",
     "PNDMPlan",
 ]

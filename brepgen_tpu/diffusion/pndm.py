@@ -162,16 +162,27 @@ def make_pndm_plan(
     )
 
 
-def pndm_scan(
-    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
-    x_init: jnp.ndarray,
-    plan: PNDMPlan,
-) -> jnp.ndarray:
-    """Run the full PNDM schedule as one lax.scan.
+def pndm_init_carry(x_init: jnp.ndarray):
+    """Fresh scan state for ``pndm_scan_carry``: (x, ets history, current
+    momentum accumulator, current sample)."""
+    return (
+        x_init,
+        jnp.zeros((4,) + x_init.shape, dtype=x_init.dtype),
+        jnp.zeros_like(x_init),
+        jnp.zeros_like(x_init),
+    )
 
-    ``model_fn(x, t) -> eps`` is shape-preserving (CFG/masking live inside).
-    Deterministic -- PNDM adds no noise.
-    """
+
+def pndm_scan_carry(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    carry,
+    plan: PNDMPlan,
+):
+    """Advance a PNDM state through ``plan`` (any contiguous slice of a
+    full plan); returns the updated carry. Lets callers segment the
+    schedule into bounded-length device dispatches (remote backends kill
+    single executions past ~60 s) — segmenting is bit-exact because PNDM
+    is deterministic and the whole state lives in the carry."""
 
     def body(state, step):
         x, ets, cur_mo, cur_s = state
@@ -195,8 +206,19 @@ def pndm_scan(
         x_new = step.sc * base - step.dc * eps_eff
         return (x_new, ets_new, cur_mo_new, cur_s_new), None
 
-    ets0 = jnp.zeros((4,) + x_init.shape, dtype=x_init.dtype)
-    cur_mo0 = jnp.zeros_like(x_init)
-    cur_s0 = jnp.zeros_like(x_init)
-    (x_final, _, _, _), _ = jax.lax.scan(body, (x_init, ets0, cur_mo0, cur_s0), plan)
-    return x_final
+    carry, _ = jax.lax.scan(body, carry, plan)
+    return carry
+
+
+def pndm_scan(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_init: jnp.ndarray,
+    plan: PNDMPlan,
+) -> jnp.ndarray:
+    """Run the full PNDM schedule as one lax.scan.
+
+    ``model_fn(x, t) -> eps`` is shape-preserving (CFG/masking live inside).
+    Deterministic -- PNDM adds no noise.
+    """
+    carry = pndm_scan_carry(model_fn, pndm_init_carry(x_init), plan)
+    return carry[0]

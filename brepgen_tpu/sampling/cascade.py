@@ -37,7 +37,8 @@ from brepgen_tpu.diffusion import (
     make_ddim_plan,
     make_ddpm_plan,
     make_pndm_plan,
-    pndm_scan,
+    pndm_init_carry,
+    pndm_scan_carry,
 )
 from brepgen_tpu.nn.denoiser import broadcast_face_to_edge, flatten_face_edge
 from brepgen_tpu.sampling.dedup import dedup_bboxes, dedup_edges_per_face
@@ -72,6 +73,11 @@ class CascadeConfig:
     ddpm_clip: float = 3.0
     # fast mode: replace the PNDM+DDPM protocol with N-step DDIM per stage
     fast_steps: int = 0
+    # max model evals per device dispatch: denoise schedules run as
+    # host-driven chains of <= seg_calls-step scan programs (remote
+    # backends kill single executions past ~60 s; ABC edge evals are
+    # ~0.33 s each, so 64 keeps a wide margin)
+    seg_calls: int = 64
 
     @classmethod
     def for_mode(cls, mode: str, batch_size: int = 16, class_label: str = "uncond"):
@@ -131,12 +137,6 @@ def build_cascade(
         pndm_full_plan = make_pndm_plan(cfg.pndm_steps)
         ddpm_plan = make_ddpm_plan(num_steps=cfg.ddpm_tail)
 
-    def run_full_schedule(eps_fn, x):
-        """Latent stages: the full 209-call PNDM schedule, or N-step DDIM."""
-        if fast:
-            return ddim_scan(eps_fn, x, ddim_plan)
-        return pndm_scan(eps_fn, x, pndm_full_plan)
-
     def make_stage_eps(stage, params, noisy_of, cond_named, tok_mask):
         """Build an eps(x, t) closure with the CONSTANT conditioning
         streams pre-embedded ONCE (outside the denoise scan) -- only the
@@ -182,36 +182,74 @@ def build_cascade(
     # compilation); per-stage jits keep every tensor device-resident, so
     # the only extra cost is 4 dispatches per generated batch.
 
-    @jax.jit
-    def stage_surfpos(params, key: jax.Array) -> jnp.ndarray:
-        k0, k1 = jax.random.split(key)
-        eps1 = make_stage_eps("surfpos", params, lambda x: {"surfpos": x}, {}, None)
-        surfpos = _shard(jax.random.normal(k0, (B, ns0, 6)))
-        if fast:
-            # run DDIM down to an intermediate t, duplicate the set (late
-            # increase), then finish with a stochastic DDPM tail for
-            # diversity between the duplicated halves
-            surfpos = ddim_scan(eps1, surfpos, ddim_plan_hi, clip_range=cfg.ddpm_clip)
-            if not cfg.use_cf:
-                surfpos = jnp.concatenate([surfpos, surfpos], axis=1)
-            return ddpm_scan(eps1, surfpos, ddpm_tail_plan, k1, cfg.ddpm_clip)
-        surfpos = pndm_scan(eps1, surfpos, pndm_pos_plan)
-        if not cfg.use_cf:
-            surfpos = jnp.concatenate([surfpos, surfpos], axis=1)  # late increase
-        return ddpm_scan(eps1, surfpos, ddpm_plan, k1, cfg.ddpm_clip)
+    # --- schedule segmentation -------------------------------------------
+    # Every denoise schedule is sliced into chunks of <= cfg.seg_calls model
+    # evals; each chunk is its own jitted program (the plan slice is a
+    # traced argument, so all equal-length chunks share ONE executable and
+    # only the remainder compiles separately) and the scan state stays
+    # device-resident between chunks. Two reasons: (a) remote/tunneled
+    # backends kill any single execution past ~60 s, which ABC-scale edge
+    # stages exceed; (b) bounded dispatches are preemption-friendly.
+    # PNDM/DDIM chunks are bit-identical to the unsegmented scan
+    # (deterministic, full state in the carry); DDPM chunks draw their
+    # per-step noise from per-segment folded keys.
+    def _chunks(plan):
+        n = int(jax.tree.leaves(plan)[0].shape[0])
+        L = cfg.seg_calls
+        return [
+            jax.tree.map(lambda a, i=i: a[i : i + L], plan) for i in range(0, n, L)
+        ]
+
+    if fast:
+        ddim_hi_chunks = _chunks(ddim_plan_hi)
+        ddim_chunks = _chunks(ddim_plan)
+        ddpm_tail_chunks = _chunks(ddpm_tail_plan)
+    else:
+        pndm_pos_chunks = _chunks(pndm_pos_plan)
+        pndm_full_chunks = _chunks(pndm_full_plan)
+        ddpm_chunks = _chunks(ddpm_plan)
+
+    # --- surfPos ----------------------------------------------------------
+    def _surfpos_eps(params):
+        return make_stage_eps("surfpos", params, lambda x: {"surfpos": x}, {}, None)
 
     @jax.jit
-    def stage_surfz(params, key: jax.Array, surfpos: jnp.ndarray):
+    def prog_surfpos_noise(key):
+        return _shard(jax.random.normal(key, (B, ns0, 6)))
+
+    @jax.jit
+    def prog_surfpos_pndm(params, carry, plan_seg):
+        return pndm_scan_carry(_surfpos_eps(params), carry, plan_seg)
+
+    @jax.jit
+    def prog_surfpos_ddim(params, x, plan_seg):
+        return ddim_scan(_surfpos_eps(params), x, plan_seg, clip_range=cfg.ddpm_clip)
+
+    @jax.jit
+    def prog_surfpos_ddpm(params, x, plan_seg, key):
+        return ddpm_scan(_surfpos_eps(params), x, plan_seg, key, cfg.ddpm_clip)
+
+    # --- surfZ ------------------------------------------------------------
+    def _surfz_eps(params, surfpos, surf_mask):
+        return make_stage_eps(
+            "surfz", params, lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
+        )
+
+    @jax.jit
+    def prog_surfz_prep(key, surfpos):
         surf_keep = dedup_bboxes(surfpos, cfg.bbox_threshold)   # True = keep
         surf_mask = ~surf_keep                                   # True = pad
         surfpos = jnp.where(surf_mask[:, :, None], 0.0, surfpos)
+        surfz0 = _shard(jax.random.normal(key, (B, ns, 48)))
+        return surfpos, surf_mask, surf_keep, surfz0
 
-        surfz = _shard(jax.random.normal(key, (B, ns, 48)))
-        surfz_eps = make_stage_eps(
-            "surfz", params, lambda x: {"surfz": x}, {"surfpos": surfpos}, surf_mask
-        )
-        surfz = run_full_schedule(surfz_eps, surfz)
-        return surfpos, surf_mask, surf_keep, surfz
+    @jax.jit
+    def prog_surfz_pndm(params, carry, plan_seg, surfpos, surf_mask):
+        return pndm_scan_carry(_surfz_eps(params, surfpos, surf_mask), carry, plan_seg)
+
+    @jax.jit
+    def prog_surfz_ddim(params, x, plan_seg, surfpos, surf_mask):
+        return ddim_scan(_surfz_eps(params, surfpos, surf_mask), x, plan_seg)
 
     def _edgepos_eps(params, surfpos, surfz, surf_mask):
         raw_eps = make_stage_eps(
@@ -230,31 +268,27 @@ def build_cascade(
 
         return edgepos_eps
 
-    # The PNDM and DDPM phases are SEPARATE jit programs (the handoff
-    # [B, ns, ne, 6] stays device-resident): halving the largest program
-    # keeps ABC-scale remote compiles inside one process's device-lease
-    # budget, at the cost of one extra dispatch per batch.
     @jax.jit
-    def stage_edgepos_pndm(params, key: jax.Array, surfpos, surfz, surf_mask):
-        edgepos = _shard(jax.random.normal(key, (B, ns, ne, 6)))
+    def prog_edgepos_noise(key):
+        return _shard(jax.random.normal(key, (B, ns, ne, 6)))
+
+    @jax.jit
+    def prog_edgepos_pndm(params, carry, plan_seg, surfpos, surfz, surf_mask):
         eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
-        if fast:
-            return ddim_scan(eps, edgepos, ddim_plan, clip_range=cfg.ddpm_clip)
-        return pndm_scan(eps, edgepos, pndm_pos_plan)
+        return pndm_scan_carry(eps, carry, plan_seg)
 
     @jax.jit
-    def stage_edgepos_ddpm(params, key: jax.Array, edgepos, surfpos, surfz, surf_mask):
+    def prog_edgepos_ddim(params, x, plan_seg, surfpos, surfz, surf_mask):
         eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
-        k_noise = jax.random.fold_in(key, 1)
-        return ddpm_scan(eps, edgepos, ddpm_plan, k_noise, cfg.ddpm_clip)
+        return ddim_scan(eps, x, plan_seg, clip_range=cfg.ddpm_clip)
 
     @jax.jit
-    def stage_edgez(params, key: jax.Array, edgepos, surfpos, surfz, surf_keep):
-        edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
-        edge_mask = ~edge_keep
+    def prog_edgepos_ddpm(params, x, plan_seg, key, surfpos, surfz, surf_mask):
+        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
+        return ddpm_scan(eps, x, plan_seg, key, cfg.ddpm_clip)
 
-        edgezv = _shard(jax.random.normal(key, (B, ns, ne, 18)))
-
+    # --- edgeZ ------------------------------------------------------------
+    def _edgez_eps(params, edgepos, surfpos, surfz, edge_mask):
         raw_eps = make_stage_eps(
             "edgez",
             params,
@@ -271,9 +305,24 @@ def build_cascade(
             flat = x.reshape(B, ns * ne, 18)
             return raw_eps(flat, t).reshape(B, ns, ne, 18)
 
-        edgezv = run_full_schedule(edgez_eps, edgezv)
-        edgezv = jnp.where(edge_mask[..., None], 0.0, edgezv)
-        return edge_mask, edgezv
+        return edgez_eps
+
+    @jax.jit
+    def prog_edgez_prep(key, edgepos, surf_keep):
+        edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
+        edge_mask = ~edge_keep
+        z0 = _shard(jax.random.normal(key, (B, ns, ne, 18)))
+        return edge_mask, z0
+
+    @jax.jit
+    def prog_edgez_pndm(params, carry, plan_seg, edgepos, surfpos, surfz, edge_mask):
+        eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
+        return pndm_scan_carry(eps, carry, plan_seg)
+
+    @jax.jit
+    def prog_edgez_ddim(params, x, plan_seg, edgepos, surfpos, surfz, edge_mask):
+        eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
+        return ddim_scan(eps, x, plan_seg)
 
     @jax.jit
     def stage_decode(sp, ep, surfz, edgezv):
@@ -296,24 +345,93 @@ def build_cascade(
                            min(8192, B * ns * ne)).reshape(B, ns, ne, 32, 3)
         return surf_ncs, edge_ncs
 
-    # optional AOT: serialize each stage's compiled executable to disk so
-    # later processes skip the (remote, minutes-long at ABC scale) compile
+    # optional AOT: serialize each segment program's compiled executable so
+    # later processes skip the (remote, minutes-long at ABC scale) compile.
+    # The tiny noise/prep programs stay plain jits (seconds to compile;
+    # deserialization on remote backends costs more than it saves).
     from brepgen_tpu.sampling.aot import maybe_aot, wrap_stage
 
     _aot = maybe_aot(aot_cache_dir)
     fp = repr(cfg)
-    s_surfpos = wrap_stage(_aot, stage_surfpos, "surfpos", fp)
-    s_surfz = wrap_stage(_aot, stage_surfz, "surfz", fp)
-    s_edgepos_pndm = wrap_stage(_aot, stage_edgepos_pndm, "edgepos_pndm", fp)
-    s_edgepos_ddpm = wrap_stage(_aot, stage_edgepos_ddpm, "edgepos_ddpm", fp)
-    s_edgez = wrap_stage(_aot, stage_edgez, "edgez", fp)
+    w_surfpos_pndm = wrap_stage(_aot, prog_surfpos_pndm, "surfpos_pndm", fp)
+    w_surfpos_ddim = wrap_stage(_aot, prog_surfpos_ddim, "surfpos_ddim", fp)
+    w_surfpos_ddpm = wrap_stage(_aot, prog_surfpos_ddpm, "surfpos_ddpm", fp)
+    w_surfz_pndm = wrap_stage(_aot, prog_surfz_pndm, "surfz_pndm", fp)
+    w_surfz_ddim = wrap_stage(_aot, prog_surfz_ddim, "surfz_ddim", fp)
+    w_edgepos_pndm = wrap_stage(_aot, prog_edgepos_pndm, "edgepos_pndm", fp)
+    w_edgepos_ddim = wrap_stage(_aot, prog_edgepos_ddim, "edgepos_ddim", fp)
+    w_edgepos_ddpm = wrap_stage(_aot, prog_edgepos_ddpm, "edgepos_ddpm", fp)
+    w_edgez_pndm = wrap_stage(_aot, prog_edgez_pndm, "edgez_pndm", fp)
+    w_edgez_ddim = wrap_stage(_aot, prog_edgez_ddim, "edgez_ddim", fp)
     s_decode = wrap_stage(_aot, stage_decode, "decode", fp)
 
-    def s_edgepos(params, key, surfpos, surfz, surf_mask):
-        x = s_edgepos_pndm(params, key, surfpos, surfz, surf_mask)
-        if fast:  # DDIM covers the whole schedule in the first program
+    def s_surfpos(params, key):
+        k0, k1 = jax.random.split(key)
+        x = prog_surfpos_noise(k0)
+        if fast:
+            # DDIM down to an intermediate t, duplicate the set (late
+            # increase), then a stochastic DDPM tail for diversity
+            # between the duplicated halves
+            for seg in ddim_hi_chunks:
+                x = w_surfpos_ddim(params, x, seg)
+            if not cfg.use_cf:
+                x = jnp.concatenate([x, x], axis=1)
+            for i, seg in enumerate(ddpm_tail_chunks):
+                x = w_surfpos_ddpm(params, x, seg, jax.random.fold_in(k1, i))
             return x
-        return s_edgepos_ddpm(params, key, x, surfpos, surfz, surf_mask)
+        carry = pndm_init_carry(x)
+        for seg in pndm_pos_chunks:
+            carry = w_surfpos_pndm(params, carry, seg)
+        x = carry[0]
+        if not cfg.use_cf:
+            x = jnp.concatenate([x, x], axis=1)  # late increase
+        for i, seg in enumerate(ddpm_chunks):
+            x = w_surfpos_ddpm(params, x, seg, jax.random.fold_in(k1, i))
+        return x
+
+    def s_surfz(params, key, surfpos):
+        surfpos, surf_mask, surf_keep, z = prog_surfz_prep(key, surfpos)
+        if fast:
+            for seg in ddim_chunks:
+                z = w_surfz_ddim(params, z, seg, surfpos, surf_mask)
+        else:
+            carry = pndm_init_carry(z)
+            for seg in pndm_full_chunks:
+                carry = w_surfz_pndm(params, carry, seg, surfpos, surf_mask)
+            z = carry[0]
+        return surfpos, surf_mask, surf_keep, z
+
+    def s_edgepos(params, key, surfpos, surfz, surf_mask):
+        x = prog_edgepos_noise(key)
+        if fast:
+            for seg in ddim_chunks:
+                x = w_edgepos_ddim(params, x, seg, surfpos, surfz, surf_mask)
+            return x
+        carry = pndm_init_carry(x)
+        for seg in pndm_pos_chunks:
+            carry = w_edgepos_pndm(params, carry, seg, surfpos, surfz, surf_mask)
+        x = carry[0]
+        kd = jax.random.fold_in(key, 1)
+        for i, seg in enumerate(ddpm_chunks):
+            x = w_edgepos_ddpm(
+                params, x, seg, jax.random.fold_in(kd, i), surfpos, surfz, surf_mask
+            )
+        return x
+
+    def s_edgez(params, key, edgepos, surfpos, surfz, surf_keep):
+        edge_mask, z = prog_edgez_prep(key, edgepos, surf_keep)
+        if fast:
+            for seg in ddim_chunks:
+                z = w_edgez_ddim(params, z, seg, edgepos, surfpos, surfz, edge_mask)
+        else:
+            carry = pndm_init_carry(z)
+            for seg in pndm_full_chunks:
+                carry = w_edgez_pndm(
+                    params, carry, seg, edgepos, surfpos, surfz, edge_mask
+                )
+            z = carry[0]
+        edgezv = jnp.where(edge_mask[..., None], 0.0, z)
+        return edge_mask, edgezv
 
     if stage_times is not None:
         # measurement mode: synchronize around each stage and accumulate
@@ -342,11 +460,8 @@ def build_cascade(
         """Force-compile ONE stage with zero-filled args of the production
         shapes (and serialize it when an AOT cache is attached).
 
-        Exists because the remote TPU backend bounds a process's device
-        lifetime (~12 min observed); ABC-scale stage compiles chained in
-        one process exceed it. Chaining one-stage processes over the AOT
-        cache keeps every process under the bound; the final run is then
-        pure execution from deserialized executables.
+        Lets a cold process warm the AOT cache one stage at a time when
+        chained remote compiles would otherwise pile into one process.
         """
         key = jax.random.PRNGKey(0)
         z = lambda *s: jnp.zeros(s)
@@ -354,12 +469,8 @@ def build_cascade(
         calls = {
             "surfpos": lambda: s_surfpos(net_params["surfpos"], key),
             "surfz": lambda: s_surfz(net_params["surfz"], key, z(B, ns, 6)),
-            "edgepos_pndm": lambda: s_edgepos_pndm(
+            "edgepos": lambda: s_edgepos(
                 net_params["edgepos"], key, z(B, ns, 6), z(B, ns, 48), zb(B, ns)
-            ),
-            "edgepos_ddpm": lambda: s_edgepos_ddpm(
-                net_params["edgepos"], key, z(B, ns, ne, 6), z(B, ns, 6),
-                z(B, ns, 48), zb(B, ns),
             ),
             "edgez": lambda: s_edgez(
                 net_params["edgez"], key, z(B, ns, ne, 6), z(B, ns, 6),
@@ -383,14 +494,9 @@ def build_cascade(
             "surfz": lambda: s_surfz(
                 net_params["surfz"], ks[0], r(ks[1], B, ns, 6)
             ),
-            "edgepos_pndm": lambda: s_edgepos_pndm(
+            "edgepos": lambda: s_edgepos(
                 net_params["edgepos"], ks[0], r(ks[1], B, ns, 6),
                 r(ks[2], B, ns, 48), jnp.zeros((B, ns), bool),
-            ),
-            "edgepos_ddpm": lambda: s_edgepos_ddpm(
-                net_params["edgepos"], ks[0], r(ks[1], B, ns, ne, 6),
-                r(ks[2], B, ns, 6), r(ks[3], B, ns, 48),
-                jnp.zeros((B, ns), bool),
             ),
             "edgez": lambda: s_edgez(
                 net_params["edgez"], ks[0], r(ks[1], B, ns, ne, 6),
