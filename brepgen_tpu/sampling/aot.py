@@ -77,24 +77,25 @@ class AotCache:
             )
 
         def call(*args):
-            if "exe" not in state:
-                state["exe"], state["loaded"] = self._load_or_compile(
-                    jfn, name, args, fingerprint
-                )
+            # one executable per argument signature: segmented schedules
+            # call the same wrapped program with a shorter remainder chunk
+            sig = _signature(args)
+            if sig not in state:
+                state[sig] = self._load_or_compile(jfn, name, args, fingerprint)
+            exe, loaded = state[sig]
             try:
-                return state["exe"](*place(state["exe"], args))
+                return exe(*place(exe, args))
             except Exception:  # noqa: BLE001
-                if not state["loaded"]:
+                if not loaded:
                     raise
                 # a deserialized executable can be unusable on this host
                 # (e.g. device-assignment mismatch on virtual CPU meshes):
                 # recompile fresh and overwrite the cache entry
                 print(f"aot: cached executable for {name} unusable here; recompiling")
                 os.unlink(self._path(name, args, fingerprint))
-                state["exe"], state["loaded"] = self._load_or_compile(
-                    jfn, name, args, fingerprint
-                )
-                return state["exe"](*place(state["exe"], args))
+                state[sig] = self._load_or_compile(jfn, name, args, fingerprint)
+                exe, _ = state[sig]
+                return exe(*place(exe, args))
 
         return call
 
