@@ -53,14 +53,35 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
 
         if self.attn_impl in ("pallas", "pallas_interpret"):
-            from brepgen_tpu.kernels.attention import fused_set_attention_packed
+            from brepgen_tpu.kernels.attention import (
+                PACKED_RESIDENT_BYTES,
+                fused_set_attention,
+                fused_set_attention_packed,
+            )
 
             interp = self.attn_impl == "pallas_interpret"
-            # packed kernel consumes the projection output directly -- no
-            # head transpose, feature split, or head-dim padding in HBM;
-            # it streams K/V in chunks (online softmax) once full-S rows
-            # would exceed VMEM, so every sequence length stays packed
-            out = fused_set_attention_packed(qkv, H, key_padding_mask, None, interp)
+            kv_bytes = S * self.width * 2  # bf16 K (or V) column-block
+            if kv_bytes <= PACKED_RESIDENT_BYTES or S > 8192:
+                # packed kernel consumes the projection output directly --
+                # no head transpose/split/D-padding in HBM. Short sets keep
+                # full-S K/V resident; very long ones stream K/V in chunks
+                # (online softmax) inside the same entry point.
+                out = fused_set_attention_packed(
+                    qkv, H, key_padding_mask, None, interp
+                )
+            else:
+                # mid-range (ABC-scale, ~3-8k tokens): the per-head kernel
+                # wins -- a full [block_q, S] logits row still fits VMEM,
+                # so no online-softmax bookkeeping, and per-head
+                # [bq,64]@[64,S] contractions pipeline better than the
+                # flash variant's chunked ones (measured 21 vs 54 ms/layer
+                # at B=16, S=4000); worth the HBM head transposes.
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+                out = fused_set_attention(
+                    split(q), split(k), split(v), key_padding_mask, None, interp
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(B, S, self.width)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             split = lambda a: a.reshape(B, S, H, D).transpose(0, 2, 1, 3)
