@@ -48,6 +48,11 @@ TEXT2INT = {
     "cabinet": 5, "chair": 6, "couch": 7, "lamp": 8, "sofa": 9, "table": 10,
 }
 
+# Bump when compiled stage-program CODE changes (kernel routing, scan
+# structure, ...): the AOT cache key otherwise only sees config + arg
+# signatures and would happily reload stale executables.
+PROGRAM_VERSION = 2
+
 # eval_config.yaml parity (reference eval_config.yaml:1-47)
 MODE_PRESETS = {
     "abc": dict(num_surfaces=50, num_edges=40, use_cf=False),
@@ -352,7 +357,7 @@ def build_cascade(
     from brepgen_tpu.sampling.aot import maybe_aot, wrap_stage
 
     _aot = maybe_aot(aot_cache_dir)
-    fp = repr(cfg)
+    fp = f"{repr(cfg)}|v{PROGRAM_VERSION}"
     w_surfpos_pndm = wrap_stage(_aot, prog_surfpos_pndm, "surfpos_pndm", fp)
     w_surfpos_ddim = wrap_stage(_aot, prog_surfpos_ddim, "surfpos_ddim", fp)
     w_surfpos_ddpm = wrap_stage(_aot, prog_surfpos_ddpm, "surfpos_ddpm", fp)
@@ -435,14 +440,23 @@ def build_cascade(
 
     if stage_times is not None:
         # measurement mode: synchronize around each stage and accumulate
-        # wall-clock per stage name (adds a host sync per stage)
+        # wall-clock per stage name. Synchronization fetches one element
+        # of EVERY output leaf to host: on the remote backend,
+        # block_until_ready does not block on AOT Compiled.__call__
+        # outputs -- only a value fetch does.
         import time as _time
+
+        import numpy as _np
+
+        def _sync(out):
+            for leaf in jax.tree.leaves(out):
+                _np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
 
         def timed(fn, name):
             def run(*args):
                 _t0 = _time.perf_counter()
                 out = fn(*args)
-                jax.block_until_ready(out)
+                _sync(out)
                 stage_times[name] = stage_times.get(name, 0.0) + (
                     _time.perf_counter() - _t0
                 )
