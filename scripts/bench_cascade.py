@@ -92,16 +92,23 @@ if len(sys.argv) > 4:  # per-stage mode: "edgez" precompiles; "time:edgez" times
 seed = int.from_bytes(os.urandom(4), "little")
 print(f"run seed: {seed}", flush=True)
 
+def fetch_sync(out):
+    # block_until_ready does not synchronize AOT Compiled outputs on the
+    # remote backend; fetch one element of every leaf instead
+    import numpy as _np
+    for leaf in jax.tree.leaves(out):
+        _np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
 t0 = time.time()
 out = cascade(jax.random.PRNGKey(seed))
-jax.block_until_ready(out)
+fetch_sync(out)
 t_first = time.time() - t0
 print(f"first call (compile/AOT-load + run): {t_first:.1f}s", flush=True)
 
 stage_times.clear()
 t0 = time.time()
 out = cascade(jax.random.PRNGKey(seed + 1))
-jax.block_until_ready(out)
+fetch_sync(out)
 t_run = time.time() - t0
 bpm = cfg.batch_size / t_run * 60
 per_3k = 3000 / cfg.batch_size * t_run / 3600
