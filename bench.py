@@ -113,6 +113,11 @@ def main():
         "unit": "breps/min",
         "vs_baseline": round(breps_per_min / REFERENCE_BREPS_PER_MIN, 3),
         "detail": {
+            "baseline_note": (
+                "denominator is a first-principles A100 FLOP estimate "
+                "(BASELINE.md 'Reference A100 estimate'), not a measured "
+                "run — no GPU in this environment"
+            ),
             "backend": jax.default_backend(),
             "surf_step_ms": round(t_surf * 1e3, 3),
             "edge_step_ms": round(t_edge * 1e3, 3),

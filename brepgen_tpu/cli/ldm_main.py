@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import pickle
 
@@ -72,20 +73,26 @@ def get_args(argv=None):
 
 
 def make_assemble_fn(args):
+    # functools.partial of module-level functions (not lambdas): the Batcher
+    # ships assemble_fn to process-pool workers, so it must be picklable
     if args.option == "surfpos":
-        return lambda d, rng: assemble_surfpos(
-            d, rng, args.max_face, args.bbox_scaled, args.data_aug
+        return functools.partial(
+            assemble_surfpos, max_face=args.max_face,
+            bbox_scaled=args.bbox_scaled, aug=args.data_aug,
         )
     if args.option == "surfz":
-        return lambda d, rng: assemble_surfz(
-            d, rng, args.max_face, args.bbox_scaled, args.data_aug
+        return functools.partial(
+            assemble_surfz, max_face=args.max_face,
+            bbox_scaled=args.bbox_scaled, aug=args.data_aug,
         )
     if args.option == "edgepos":
-        return lambda d, rng: assemble_edgepos(
-            d, rng, args.max_face, args.max_edge, args.bbox_scaled, args.data_aug
+        return functools.partial(
+            assemble_edgepos, max_face=args.max_face, max_edge=args.max_edge,
+            bbox_scaled=args.bbox_scaled, aug=args.data_aug,
         )
-    return lambda d, rng: assemble_edgez(
-        d, rng, args.max_face, args.max_edge, args.bbox_scaled, args.data_aug
+    return functools.partial(
+        assemble_edgez, max_face=args.max_face, max_edge=args.max_edge,
+        bbox_scaled=args.bbox_scaled, aug=args.data_aug,
     )
 
 
@@ -128,8 +135,11 @@ def load_filtered_samples(args, split):
             if labels is not None:
                 kept_labels.append(labels[i])
     print(f"{split}: kept {len(kept)}/{len(paths)}")
-    # furniture inflation x50 (reference dataset.py:224-226)
-    if len(kept) < 2000 and split == "train" and labels is not None:
+    # furniture inflation x50 -- keyed on the dataset layout (labels are
+    # only present for furniture), not on a size threshold: the reference's
+    # `len(data)<2000` gate (dataset.py:224-226) is an implicit furniture
+    # test that would silently change epoch semantics for any small dataset
+    if split == "train" and labels is not None:
         kept = kept * 50
         kept_labels = kept_labels * 50
     return kept, (kept_labels if labels is not None else None)

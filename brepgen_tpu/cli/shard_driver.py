@@ -16,6 +16,7 @@ Generic core (``run_shards``) + the CLI that shards a STEP tree and runs
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import signal
@@ -23,6 +24,15 @@ import subprocess
 import sys
 import tempfile
 from typing import Callable, Dict, List, Sequence
+
+
+def _items_fingerprint(items: Sequence[str], shard_size: int) -> str:
+    h = hashlib.sha256()
+    h.update(str(shard_size).encode())
+    for it in items:
+        h.update(it.encode())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
 
 
 def _load_manifest(path: str) -> Dict:
@@ -56,6 +66,18 @@ def run_shards(
     with the same arguments resumes.
     """
     manifest = _load_manifest(manifest_path)
+    # Shard ids are positions into (items, shard_size); resuming against a
+    # different item list or shard size would silently map 'done' ids onto
+    # different file subsets. Refuse instead.
+    fp = _items_fingerprint(items, shard_size)
+    old_fp = manifest.get("fingerprint")
+    if old_fp is not None and old_fp != fp and (manifest["done"] or manifest["failed"]):
+        raise RuntimeError(
+            f"manifest {manifest_path} was written for a different item list "
+            f"or shard_size (fingerprint {old_fp} != {fp}); delete it or use "
+            "a fresh manifest path to start over"
+        )
+    manifest["fingerprint"] = fp
     done = set(manifest["done"])
     failed = set(manifest["failed"])
 
@@ -83,7 +105,10 @@ def run_shards(
                 except subprocess.TimeoutExpired:
                     # kill the shard's WHOLE process group (worker pools
                     # included) -- bounded, unlike pattern-matching pkill
-                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                    try:
+                        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass  # child exited in the TimeoutExpired->kill window
                     proc.wait()
                     print(f"shard {sid}: timeout after {timeout}s (attempt {attempt + 1})")
             (done if ok else failed).add(sid)

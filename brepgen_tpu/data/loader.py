@@ -1,16 +1,22 @@
 """Host-side batching: shuffled epochs of assembled numpy batches.
 
-The reference uses torch DataLoader worker processes (``trainer.py:51-58``).
-Here batches are assembled by pure functions (``assembly.py``) over
-in-memory samples or pkl paths, optionally in a thread pool, and the
-training loop overlaps host assembly with device compute via simple
-lookahead prefetch (``prefetch_to_device``).
+The reference feeds training from torch DataLoader worker *processes*
+(``trainer.py:51-58,314``). Batches here are assembled by pure, picklable
+functions (``assembly.py``) over in-memory samples or pkl paths; with
+``num_workers > 0`` the work runs in a spawned process pool (each worker
+holds its own copy of the sample list, tasks ship only ``(idx, seed)``) —
+threads are GIL-negative for this numpy-heavy assembly (measured in
+``scripts/io_bench.py``). The training loop overlaps host assembly with
+device compute via lookahead prefetch (``prefetch_to_device``).
+
+Workers never touch JAX: assembly is numpy-only, so no second device
+process/client is ever created (critical on the axon backend).
 """
 
 from __future__ import annotations
 
 import pickle
-from concurrent.futures import ThreadPoolExecutor
+import warnings
 from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
@@ -25,6 +31,23 @@ def _load(sample: Sample) -> dict:
         return pickle.load(f)
 
 
+# Per-worker state, installed once by the pool initializer so that tasks
+# are just (idx, seed) pairs — the torch-DataLoader-worker pattern.
+_WORKER: dict = {}
+
+
+def _pool_init(samples, assemble_fn):
+    _WORKER["samples"] = samples
+    _WORKER["assemble_fn"] = assemble_fn
+
+
+def _pool_assemble(task):
+    idx, seed = task
+    rng = np.random.default_rng(seed)
+    out = _WORKER["assemble_fn"](_load(_WORKER["samples"][idx]), rng)
+    return out if isinstance(out, tuple) else (out,)
+
+
 class Batcher:
     """Shuffled epoch iterator yielding tuples of stacked numpy arrays.
 
@@ -32,6 +55,11 @@ class Batcher:
     class_labels: optional per-sample int labels (furniture); when given,
     each batch gets a trailing [B, 1] int32 array of label+1 (0 = uncond),
     matching reference ``dataset.py:276``.
+
+    num_workers > 0 assembles in a spawned process pool (requires a
+    picklable assemble_fn — module function or functools.partial); a
+    non-picklable assemble_fn falls back to in-process assembly with a
+    warning.
     """
 
     def __init__(
@@ -51,7 +79,40 @@ class Batcher:
         self.class_labels = class_labels
         self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
-        self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        self._pool = None
+        if num_workers > 0:
+            try:
+                pickle.dumps(assemble_fn)
+            except Exception:
+                warnings.warn(
+                    "assemble_fn is not picklable; falling back to "
+                    "in-process batch assembly (pass a module-level "
+                    "function or functools.partial to use worker processes)"
+                )
+            else:
+                # spawn (not fork): the parent holds a live TPU client and
+                # XLA threads; forked children could deadlock or inherit the
+                # device tunnel. Spawned workers import numpy-only modules.
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+
+                self._pool = ProcessPoolExecutor(
+                    num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_pool_init,
+                    initargs=(self.samples, assemble_fn),
+                )
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.samples) // self.batch_size
@@ -71,11 +132,23 @@ class Batcher:
             idxs = order[start : start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 break
+            batch_seeds = seeds[start : start + len(idxs)]
             if self._pool is not None:
-                items = list(self._pool.map(self._assemble_one, idxs, seeds[start:start + len(idxs)]))
+                chunk = max(1, len(idxs) // (2 * self.num_workers))
+                items = list(
+                    self._pool.map(
+                        _pool_assemble,
+                        [(int(i), int(s)) for i, s in zip(idxs, batch_seeds)],
+                        chunksize=chunk,
+                    )
+                )
             else:
-                items = [self._assemble_one(i, s) for i, s in zip(idxs, seeds[start:start + len(idxs)])]
-            batch = tuple(np.stack([it[k] for it in items]) for k in range(len(items[0])))
+                items = [
+                    self._assemble_one(i, s) for i, s in zip(idxs, batch_seeds)
+                ]
+            batch = tuple(
+                np.stack([it[k] for it in items]) for k in range(len(items[0]))
+            )
             if self.class_labels is not None:
                 labels = np.asarray(
                     [[self.class_labels[i] + 1] for i in idxs], np.int32
@@ -111,7 +184,9 @@ def prefetch_to_device(iterator, lookahead: int = 2, sharding=None,
     overlap compute because device_put is async). With ``background=True``
     a producer thread pulls and transfers batches, so host-side batch
     assembly itself also overlaps device compute instead of running on the
-    consumer thread between steps.
+    consumer thread between steps. If the consumer abandons the generator
+    early (break / exception / close), the producer is signalled to stop so
+    it never blocks forever on a full queue.
     """
     import collections
 
@@ -128,26 +203,48 @@ def prefetch_to_device(iterator, lookahead: int = 2, sharding=None,
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(lookahead, 1))
         done = object()
+        stop = threading.Event()
         err: list = []
 
         def producer():
             try:
                 for batch in iterator:
-                    q.put(put(batch))
+                    item = put(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001 -- re-raised on consumer
                 err.append(e)
             finally:
-                q.put(done)
+                while not stop.is_set():
+                    try:
+                        q.put(done, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is done:
-                if err:
-                    raise err[0]
-                return
-            yield item
+
+        def consume():
+            try:
+                while True:
+                    item = q.get()
+                    if item is done:
+                        if err:
+                            raise err[0]
+                        return
+                    yield item
+            finally:
+                stop.set()  # runs on break/exception/close of THIS generator
+
+        yield from consume()
+        return
 
     queue = collections.deque()
     for batch in iterator:

@@ -87,14 +87,24 @@ def compute_cov_mmd(sample_pcs, ref_pcs, block: int = 4) -> Dict[str, float]:
 
 
 def _occupancy_counts(pclouds: np.ndarray, resolution: int) -> np.ndarray:
-    """Per-cell count of clouds that activate the cell (Bernoulli vars)."""
+    """Per-cell count of POINTS landing in the cell, summed over clouds.
+
+    Parity: ``entropy_of_occupancy_grid``'s ``grid_counters`` return value
+    (``pc_metric.py:112-148``) — every point increments its nearest grid
+    cell, duplicates included — which is the variable the reference feeds to
+    ``jensen_shannon_divergence`` (``pc_metric.py:98-108``).  (The reference
+    also tracks a per-cloud Bernoulli activation count, but uses it only for
+    the entropy value, which JSD never consumes.)  Nearest grid cell on the
+    regular [-1,1] lattice is closed-form rounding; exact half-way ties
+    (measure zero for real data) may differ from an NN tie-break.
+    """
     spacing = 2.0 / (resolution - 1)
-    grid_rvars = np.zeros(resolution**3)
+    grid_counters = np.zeros(resolution**3)
     for pc in pclouds:
         idx3 = np.clip(np.round((pc + 1.0) / spacing), 0, resolution - 1).astype(int)
         flat = idx3[:, 0] * resolution**2 + idx3[:, 1] * resolution + idx3[:, 2]
-        grid_rvars[np.unique(flat)] += 1
-    return grid_rvars
+        np.add.at(grid_counters, flat, 1)
+    return grid_counters
 
 
 def _jsdiv(P: np.ndarray, Q: np.ndarray) -> float:

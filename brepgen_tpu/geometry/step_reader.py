@@ -83,10 +83,19 @@ def _tokenize(text: str) -> list:
         elif ch == ",":
             i += 1
         elif ch == "'":
+            # STEP strings escape an embedded quote as '' (ISO 10303-21)
             j = i + 1
-            while j < n and text[j] != "'":
+            parts: list = []
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        parts.append("'")
+                        j += 2
+                        continue
+                    break
+                parts.append(text[j])
                 j += 1
-            stack[-1].append(text[i + 1 : j])
+            stack[-1].append("".join(parts))
             i = j + 1
         elif ch == "#":
             j = i + 1
@@ -117,6 +126,41 @@ def _tokenize(text: str) -> list:
     return out
 
 
+def _split_records(text: str) -> List[str]:
+    """Split DATA-section text on ``;`` outside quoted strings.
+
+    External STEP files routinely carry ``;`` (and ``''``-escaped quotes)
+    inside string attributes — a naive ``split(';')`` silently drops every
+    entity after the first such string.
+    """
+    records: List[str] = []
+    buf: list = []
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            records.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        records.append("".join(buf))
+    return records
+
+
 def parse_step(path: str) -> Dict[int, StepEntity]:
     """Parse a STEP file's DATA section into {entity id: StepEntity}."""
     text = open(path).read()
@@ -124,7 +168,7 @@ def parse_step(path: str) -> Dict[int, StepEntity]:
     if not m:
         raise ValueError(f"{path}: no DATA section")
     entities: Dict[int, StepEntity] = {}
-    for record in m.group(1).split(";"):
+    for record in _split_records(m.group(1)):
         record = record.strip()
         if not record:
             continue

@@ -12,9 +12,14 @@ Sequences here are short enough (<= ~2k) that a whole [block_q, S] logit
 row fits comfortably in VMEM, so no online-softmax carry is needed --
 simpler and faster than a flash-style streaming kernel at these shapes.
 
-Training uses a custom VJP whose backward recomputes through the XLA
-attention (correct gradients; the Pallas speedup matters most in the
-sampling cascade where there is no backward).
+Three forward variants, length-routed by the caller (``nn/transformer.py``):
+the packed resident kernel (consumes the fused [B,S,3W] QKV projection
+directly, full-S K/V in VMEM, best below ~2.7k tokens), the per-head
+kernel (HBM head transposes but simple [bq,S] logit rows, best at ABC
+scale ~3-8k), and a K-chunked online-softmax streaming kernel for longer
+sequences. Training uses a custom VJP with a Pallas flash-style backward
+in the packed layout (``_packed_bwd``); only the never-trained streaming
+lengths fall back to recompute-through-XLA gradients.
 """
 
 from __future__ import annotations

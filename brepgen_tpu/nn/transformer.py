@@ -60,7 +60,11 @@ class MultiHeadSelfAttention(nn.Module):
             )
 
             interp = self.attn_impl == "pallas_interpret"
-            kv_bytes = S * self.width * 2  # bf16 K (or V) column-block
+            # resident K (or V) column-block size in the COMPUTE dtype --
+            # must match _needs_kv_streaming's check inside the kernel, or
+            # f32 mid-range sequences get routed to the slower streaming
+            # variant despite passing a bf16-sized test here
+            kv_bytes = S * self.width * jnp.dtype(self.dtype).itemsize
             if kv_bytes <= PACKED_RESIDENT_BYTES or S > 8192:
                 # packed kernel consumes the projection output directly --
                 # no head transpose/split/D-padding in HBM. Short sets keep

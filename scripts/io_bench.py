@@ -32,14 +32,18 @@ NF, NE = 30, 20  # deepcad training shapes (train_ldm.sh:5-6)
 
 
 def host_rate(option, batch_size, workers, n_batches=8):
+    from functools import partial
+
     ds = make_dataset(max(batch_size, 256), seed=0)
     if option == "surfpos":
-        asm = lambda d, rng: assemble_surfpos(d, rng, NF, 3.0, True)
+        asm = partial(assemble_surfpos, max_face=NF, bbox_scaled=3.0, aug=True)
     else:
-        asm = lambda d, rng: assemble_edgez(d, rng, NF, NE, 3.0, True)
+        asm = partial(
+            assemble_edgez, max_face=NF, max_edge=NE, bbox_scaled=3.0, aug=True
+        )
     b = Batcher(ds, asm, batch_size, num_workers=workers, drop_last=False)
     it = iter(b)
-    next(it)  # warm
+    next(it)  # warm (includes process-pool spawn cost)
     t0 = time.perf_counter()
     n = 0
     while n < n_batches:
@@ -48,7 +52,9 @@ def host_rate(option, batch_size, workers, n_batches=8):
             n += 1
         except StopIteration:
             it = iter(b)
-    return n / (time.perf_counter() - t0)
+    rate = n / (time.perf_counter() - t0)
+    b.close()
+    return rate
 
 
 def device_rate(option, batch_size, n_steps=20):

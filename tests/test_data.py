@@ -131,6 +131,34 @@ def test_batcher(cuboid):
     assert pos.shape == (4, 12, 6) and mask.shape == (4, 12)
 
 
+def test_batcher_process_pool_matches_inprocess():
+    """Worker-process assembly must be bit-identical to in-process assembly
+    (same per-item seeds), and non-picklable assemble_fns must fall back."""
+    import functools
+
+    from brepgen_tpu.data.assembly import assemble_surfz as _asz
+
+    samples = make_dataset(10, seed=1)
+    asm = functools.partial(_asz, max_face=12)
+    ref = list(Batcher(samples, asm, batch_size=4, seed=0))
+    pooled = Batcher(samples, asm, batch_size=4, seed=0, num_workers=2)
+    try:
+        got = list(pooled)
+    finally:
+        pooled.close()
+    assert len(got) == len(ref)
+    for rb, gb in zip(ref, got):
+        for x, y in zip(rb, gb):
+            np.testing.assert_array_equal(x, y)
+
+    with pytest.warns(UserWarning, match="not picklable"):
+        fallback = Batcher(
+            samples, lambda d, rng: asm(d, rng), batch_size=4, seed=0,
+            num_workers=2,
+        )
+    assert fallback._pool is None
+
+
 def test_surf_uv_aug_stays_normalized(cuboid):
     rng = np.random.default_rng(3)
     for _ in range(4):

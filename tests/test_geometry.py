@@ -426,6 +426,24 @@ def test_nurbs_exact_circle_and_cylinder():
     assert abs(flat[:, 2].min()) < 1e-12 and abs(flat[:, 2].max() - 2.0) < 1e-12
 
 
+def test_step_reader_quoted_semicolons_and_escapes(tmp_path):
+    """';' and ''-escaped quotes inside string attrs must not break record
+    splitting (external ABC files carry such product names)."""
+    from brepgen_tpu.geometry.step_reader import parse_step
+
+    path = str(tmp_path / "quoted.step")
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write("#1=PRODUCT('part;rev2','it''s a name','',());\n")
+        f.write("#2=CARTESIAN_POINT('p;q',(1.,2.,3.));\n")
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+    ents = parse_step(path)
+    assert set(ents) == {1, 2}
+    assert ents[1].args[0] == "part;rev2"
+    assert ents[1].args[1] == "it's a name"
+    assert ents[2].args[1] == [1.0, 2.0, 3.0]
+
+
 def test_step_reader_rational_complex_entity(tmp_path):
     """RATIONAL_B_SPLINE_CURVE complex records build exact NURBS."""
     from brepgen_tpu.geometry.bspline import NurbsCurve, eval_nurbs_curve
