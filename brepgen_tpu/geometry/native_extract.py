@@ -4,8 +4,9 @@ The reference extraction (``data_process/process_brep.py:13-231``) needs
 OpenCASCADE to load STEP and sample UV grids. The native STEP reader plus
 the B-spline and analytic evaluators cover the same pipeline end to end
 for the geometry mainstream AP203/214 files carry — B-spline surfaces and
-curves (everything this framework exports) and the elementary analytic
-classes (plane/cylinder/cone/sphere/torus, line/circle/ellipse):
+curves (everything this framework exports), the elementary analytic
+classes (plane/cylinder/cone/sphere/torus, line/circle/ellipse), and
+swept/offset surfaces (extrusion, revolution, offset — ``swept.py``):
 
   parse topology (``step_reader``) -> sample each edge's curve at 32
   parameters (analytic curves trimmed by their vertex points) -> sample
@@ -39,6 +40,7 @@ from brepgen_tpu.geometry.bspline import (
     eval_nurbs_surface,
 )
 from brepgen_tpu.geometry.step_reader import StepBrep, load_brep
+from brepgen_tpu.geometry.swept import OffsetSurface
 
 MAX_FACE = 70  # reference process_brep.py:11
 
@@ -73,6 +75,13 @@ def sample_surface_grid(surface, boundary_pts=None, num: int = 32) -> np.ndarray
         if isinstance(surface, NurbsSurface):
             return eval_nurbs_surface(surface, u, v)
         return eval_bspline_surface(surface, u, v)
+    if isinstance(surface, OffsetSurface):
+        # free-form base: sample its full knot domain (like B-splines
+        # above) and offset along the numeric normal
+        (u0, u1), (v0, v1) = surface.domain()
+        return surface.eval_grid(
+            np.linspace(u0, u1, num), np.linspace(v0, v1, num)
+        )
     (u0, u1), (v0, v1) = analytic.surface_uv_domain(surface, boundary_pts)
     uu, vv = np.meshgrid(
         np.linspace(u0, u1, num), np.linspace(v0, v1, num), indexing="ij"

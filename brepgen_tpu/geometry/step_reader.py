@@ -7,14 +7,16 @@ MANIFOLD_SOLID_BREP, and reconstructs vertices, edge curves, trimmed faces
 (surface + ordered bounds), and the shell topology as numpy/NamedTuples.
 
 Covers the entity subset mainstream AP203/AP214 B-rep exporters emit:
-cartesian/vertex points, B-spline curves/surfaces with knots, the
-elementary analytic classes (PLANE, CYLINDRICAL/CONICAL/SPHERICAL/
-TOROIDAL_SURFACE; LINE, CIRCLE, ELLIPSE via ``geometry/analytic.py``),
-edge curves, oriented edges, loops, face bounds, advanced/closed shell.
-Unsupported geometry raises per-entity (callers skip that file); stray
-entities outside the shell graph are ignored — enough to re-import our
-own exports and validate them as sewn solids (``validate_solid``), and
-to ingest typical external CAD exports whose geometry is analytic.
+cartesian/vertex points, B-spline curves/surfaces with knots (incl.
+rational complex records), the elementary analytic classes (PLANE,
+CYLINDRICAL/CONICAL/SPHERICAL/TOROIDAL_SURFACE; LINE, CIRCLE, ELLIPSE
+via ``geometry/analytic.py``), swept and offset surfaces
+(SURFACE_OF_LINEAR_EXTRUSION / _OF_REVOLUTION / OFFSET_SURFACE via
+``geometry/swept.py``), edge curves, oriented edges, loops, face bounds,
+advanced/closed shell. Unsupported geometry raises per-entity (callers
+skip that file); stray entities outside the shell graph are ignored —
+enough to re-import our own exports and validate them as sewn solids
+(``validate_solid``), and to ingest typical external CAD exports.
 """
 
 from __future__ import annotations
@@ -202,6 +204,23 @@ def _frame(ents, eid: int) -> analytic.Frame:
     return analytic.make_frame(origin, z, x)
 
 
+def _axis1_frame(ents, eid: int) -> analytic.Frame:
+    """AXIS1_PLACEMENT (location + optional axis) -> Frame (x arbitrary)."""
+    e = ents[eid]
+    assert e.type == "AXIS1_PLACEMENT", e.type
+    origin = ents[e.args[1]].args[1]
+    z = ents[e.args[2]].args[1] if isinstance(e.args[2], Ref) else None
+    return analytic.make_frame(origin, z, None)
+
+
+def _vector(ents, eid: int) -> np.ndarray:
+    """VECTOR(name, direction, magnitude) -> direction * magnitude."""
+    e = ents[eid]
+    assert e.type == "VECTOR", e.type
+    direction = np.asarray(ents[e.args[1]].args[1], float)
+    return direction * float(e.args[2])
+
+
 def _complex_components(e: StepEntity) -> Dict[str, list]:
     """A complex (multi-supertype) record ``(A (...) B (...) ...)`` ->
     {supertype: tokenized args}. Used for rational B-splines, which STEP
@@ -303,6 +322,22 @@ def _build_surface(ents, eid: int):
         return analytic.Torus(
             _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
         )
+    if e.type == "SURFACE_OF_LINEAR_EXTRUSION":
+        from brepgen_tpu.geometry import swept
+
+        return swept.make_extruded(
+            _build_curve(ents, e.args[1]), _vector(ents, e.args[2])
+        )
+    if e.type == "SURFACE_OF_REVOLUTION":
+        from brepgen_tpu.geometry import swept
+
+        return swept.make_revolved(
+            _build_curve(ents, e.args[1]), _axis1_frame(ents, e.args[2])
+        )
+    if e.type == "OFFSET_SURFACE":
+        from brepgen_tpu.geometry import swept
+
+        return swept.make_offset(_build_surface(ents, e.args[1]), float(e.args[2]))
     raise ValueError(f"unsupported surface entity {e.type}")
 
 

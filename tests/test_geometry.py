@@ -426,6 +426,215 @@ def test_nurbs_exact_circle_and_cylinder():
     assert abs(flat[:, 2].min()) < 1e-12 and abs(flat[:, 2].max() - 2.0) < 1e-12
 
 
+def test_swept_eval_uv_roundtrips():
+    """Extrusion/revolution evaluators invert their own parameterization
+    for analytic AND free-form (B-spline) directrices."""
+    from brepgen_tpu.geometry import analytic as an
+    from brepgen_tpu.geometry import swept
+    from brepgen_tpu.geometry.bspline import fit_bspline_curve
+
+    rng = np.random.default_rng(0)
+    fr = an.make_frame([0.5, -0.2, 0.3], z=[0.1, 0.2, 1.0], x=[1.0, 0.0, 0.0])
+
+    # extrusion of a circle along an OBLIQUE vector (not a cylinder)
+    s = swept.make_extruded(an.Circle(fr, 1.5), [0.4, 0.1, 2.0])
+    u = rng.uniform(0.1, 2 * np.pi - 0.1, 40)
+    v = rng.uniform(-1.0, 1.0, 40)
+    ui, vi = s.uv_of(s.eval(u, v))
+    np.testing.assert_allclose(ui, u, atol=1e-5)
+    np.testing.assert_allclose(vi, v, atol=1e-5)
+
+    # extrusion of a B-spline directrix
+    t = np.linspace(0, 1, 24)
+    wiggle = np.stack([t * 3, np.sin(3 * t), np.zeros_like(t)], -1)
+    bs = fit_bspline_curve(wiggle, degree=3, n_ctrl=8)
+    s = swept.make_extruded(bs, [0.0, 0.3, 1.7])
+    u = rng.uniform(0.05, 0.95, 40)
+    v = rng.uniform(-0.8, 0.8, 40)
+    p = s.eval(u, v)
+    ui, vi = s.uv_of(p)
+    np.testing.assert_allclose(s.eval(ui, vi), p, atol=1e-5)
+
+    # extrusion of a LINE (plane): closed-form inverse
+    s = swept.make_extruded(an.Line(np.array([1.0, 0, 0]), np.array([0.0, 2.0, 0])),
+                            [0.0, 0.0, 3.0])
+    u = rng.uniform(-2, 2, 20)
+    v = rng.uniform(-2, 2, 20)
+    ui, vi = s.uv_of(s.eval(u, v))
+    np.testing.assert_allclose(ui, u, atol=1e-12)
+    np.testing.assert_allclose(vi, v, atol=1e-12)
+
+    # revolution of a line parallel to the axis == cylinder
+    axis = an.make_frame([0.0, 0.0, 0.0], z=[0.0, 0.0, 1.0])
+    line = an.Line(np.array([2.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]))
+    s = swept.make_revolved(line, axis)
+    u = rng.uniform(0.1, 2 * np.pi - 0.1, 40)
+    v = rng.uniform(-1.5, 1.5, 40)
+    p = s.eval(u, v)
+    cyl = an.Cylinder(axis, 2.0)
+    np.testing.assert_allclose(np.hypot(p[:, 0], p[:, 1]), 2.0, atol=1e-12)
+    ui, vi = s.uv_of(p)
+    np.testing.assert_allclose(ui, u, atol=1e-6)
+    np.testing.assert_allclose(vi, v, atol=1e-6)
+    uc, vc = cyl.uv_of(p)
+    np.testing.assert_allclose(ui, uc, atol=1e-6)
+
+    # revolution of a B-spline profile (vase): eval/uv_of consistency
+    t = np.linspace(0, 1, 24)
+    prof = np.stack([1.5 + 0.3 * np.sin(2 * t), np.zeros_like(t), 2 * t], -1)
+    bs = fit_bspline_curve(prof, degree=3, n_ctrl=8)
+    s = swept.make_revolved(bs, axis)
+    u = rng.uniform(0.1, 2 * np.pi - 0.1, 40)
+    v = rng.uniform(0.05, 0.95, 40)
+    p = s.eval(u, v)
+    ui, vi = s.uv_of(p)
+    np.testing.assert_allclose(s.eval(ui, vi), p, atol=1e-4)
+
+
+def test_offset_surface_reductions():
+    """Offsets of analytic bases reduce to the same class in closed form;
+    free-form bases offset along the numeric normal."""
+    from brepgen_tpu.geometry import analytic as an
+    from brepgen_tpu.geometry import swept
+    from brepgen_tpu.geometry.bspline import fit_bspline_surface
+
+    fr = an.make_frame([0.0, 0.0, 0.0])
+    d = 0.25
+    cyl = swept.make_offset(an.Cylinder(fr, 2.0), d)
+    assert isinstance(cyl, an.Cylinder) and np.isclose(cyl.radius, 2.25)
+    sph = swept.make_offset(an.Sphere(fr, 1.0), d)
+    assert isinstance(sph, an.Sphere) and np.isclose(sph.radius, 1.25)
+    tor = swept.make_offset(an.Torus(fr, 3.0, 0.5), d)
+    assert isinstance(tor, an.Torus) and np.isclose(tor.minor_radius, 0.75)
+    pl = swept.make_offset(an.Plane(fr), d)
+    assert isinstance(pl, an.Plane)
+    np.testing.assert_allclose(pl.frame.origin, [0, 0, d], atol=1e-12)
+
+    # cone: every offset point must be exactly d from the base surface
+    alpha = 0.3
+    cone = an.Cone(fr, 1.0, alpha)
+    off = swept.make_offset(cone, d)
+    assert isinstance(off, an.Cone) and np.isclose(off.semi_angle, alpha)
+    u = np.linspace(0.2, 5.8, 12)
+    w = np.linspace(-0.5, 0.5, 12)
+    p_off = off.eval(u, w)
+    # distance from offset point to base cone (project: base uv_of + eval)
+    ub, vb = cone.uv_of(p_off)
+    # minimize over v explicitly (uv_of's v is the z-height, not the foot)
+    vv = np.linspace(-2, 2, 4001)
+    base_pts = cone.eval(ub[:, None], np.broadcast_to(vv, (len(ub), len(vv))))
+    dmin = np.min(np.linalg.norm(base_pts - p_off[:, None, :], axis=-1), axis=1)
+    np.testing.assert_allclose(dmin, d, atol=1e-3)
+
+    # free-form base: numeric offset stays at distance d (flat-ish patch)
+    gx, gy = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 1, 8), indexing="ij")
+    grid = np.stack([gx, gy, 0.1 * np.sin(3 * gx) * np.cos(2 * gy)], -1)
+    bs = fit_bspline_surface(grid, degree=3, n_ctrl=6)
+    off = swept.make_offset(bs, d)
+    out = off.eval_grid(np.linspace(0.2, 0.8, 6), np.linspace(0.2, 0.8, 6))
+    # each offset point ~d away from a dense sampling of the base
+    from brepgen_tpu.geometry.bspline import eval_bspline_surface
+
+    dense = eval_bspline_surface(
+        bs, np.linspace(0, 1, 160), np.linspace(0, 1, 160)
+    ).reshape(-1, 3)
+    dmin = np.min(
+        np.linalg.norm(dense[None, :, :] - out.reshape(-1, 3)[:, None, :], axis=-1),
+        axis=1,
+    )
+    np.testing.assert_allclose(dmin, d, atol=5e-3)
+
+
+def _swept_cylinder_step(path, r=2.0, h=3.0, mode="extrusion"):
+    """The capped cylinder of ``_capped_cylinder_step`` with its lateral
+    face spelled as a swept surface: SURFACE_OF_LINEAR_EXTRUSION of the
+    base CIRCLE, or SURFACE_OF_REVOLUTION of a LINE parallel to the axis."""
+    if mode == "extrusion":
+        lateral = [
+            "#40=DIRECTION('',(0.,0.,1.));",
+            f"#41=VECTOR('',#40,{h});",
+            "#7=SURFACE_OF_LINEAR_EXTRUSION('',#10,#41);",
+        ]
+    else:
+        lateral = [
+            f"#40=CARTESIAN_POINT('',({r},0.,0.));",
+            "#41=DIRECTION('',(0.,0.,1.));",
+            f"#42=VECTOR('',#41,1.);",
+            "#43=LINE('',#40,#42);",
+            "#44=DIRECTION('',(0.,0.,1.));",
+            "#45=AXIS1_PLACEMENT('',#1,#44);",
+            "#7=SURFACE_OF_REVOLUTION('',#43,#45);",
+        ]
+    lines = [
+        "#1=CARTESIAN_POINT('',(0.,0.,0.));",
+        f"#2=CARTESIAN_POINT('',(0.,0.,{h}));",
+        "#3=DIRECTION('',(0.,0.,1.));",
+        "#4=DIRECTION('',(1.,0.,0.));",
+        "#5=AXIS2_PLACEMENT_3D('',#1,#3,#4);",
+        "#6=AXIS2_PLACEMENT_3D('',#2,#3,#4);",
+        *lateral,
+        "#8=PLANE('',#5);",
+        "#9=PLANE('',#6);",
+        f"#10=CIRCLE('',#5,{r});",
+        f"#11=CIRCLE('',#6,{r});",
+        f"#12=CARTESIAN_POINT('',({r},0.,0.));",
+        f"#13=CARTESIAN_POINT('',({r},0.,{h}));",
+        "#14=VERTEX_POINT('',#12);",
+        "#15=VERTEX_POINT('',#13);",
+        "#16=EDGE_CURVE('',#14,#14,#10,.T.);",
+        "#17=EDGE_CURVE('',#15,#15,#11,.T.);",
+        "#18=ORIENTED_EDGE('',*,*,#16,.T.);",
+        "#19=ORIENTED_EDGE('',*,*,#17,.T.);",
+        "#20=EDGE_LOOP('',(#18));",
+        "#21=EDGE_LOOP('',(#19));",
+        "#22=FACE_OUTER_BOUND('',#20,.T.);",
+        "#23=FACE_OUTER_BOUND('',#21,.T.);",
+        "#24=FACE_BOUND('',#20,.F.);",
+        "#25=ADVANCED_FACE('',(#22),#8,.F.);",
+        "#26=ADVANCED_FACE('',(#23),#9,.T.);",
+        "#27=ADVANCED_FACE('',(#23,#24),#7,.T.);",
+        "#28=CLOSED_SHELL('',(#25,#26,#27));",
+        "#29=MANIFOLD_SOLID_BREP('cyl',#28);",
+    ]
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write("\n".join(lines))
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+
+
+@pytest.mark.parametrize("mode", ["extrusion", "revolution"])
+def test_native_extraction_swept_cylinder(tmp_path, mode):
+    """A solid whose lateral face is a swept surface extracts natively,
+    matching the analytic-cylinder extraction (the OCC any-surface parity
+    gap: convert_utils.py:290-313)."""
+    from brepgen_tpu.data.schema import validate_brep
+    from brepgen_tpu.geometry.native_extract import extract_step_file
+    from brepgen_tpu.geometry.step_reader import load_brep
+    from brepgen_tpu.geometry.native_extract import sample_curve_grid, sample_surface_grid
+
+    r, h = 2.0, 3.0
+    path = str(tmp_path / f"{mode}.step")
+    _swept_cylinder_step(path, r, h, mode)
+
+    brep = load_brep(path)
+    assert len(brep.faces) == 3 and len(brep.edges) == 2
+
+    circles = [
+        sample_curve_grid(e.curve, brep.vertices[e.v_start], brep.vertices[e.v_end])
+        for e in brep.edges
+    ]
+    boundary = np.concatenate(circles)
+    lat = sample_surface_grid(brep.faces[2].surface, boundary).reshape(-1, 3)
+    np.testing.assert_allclose(np.hypot(lat[:, 0], lat[:, 1]), r, atol=1e-5)
+    assert abs(lat[:, 2].min() - 0.0) < 1e-5 and abs(lat[:, 2].max() - h) < 1e-5
+
+    data = extract_step_file(path)
+    assert data is not None
+    validate_brep(data)
+    assert np.asarray(data["surf_wcs"]).shape == (3, 32, 32, 3)
+    assert np.asarray(data["edge_wcs"]).shape == (2, 32, 3)
+
+
 def test_step_reader_quoted_semicolons_and_escapes(tmp_path):
     """';' and ''-escaped quotes inside string attrs must not break record
     splitting (external ABC files carry such product names)."""
