@@ -131,8 +131,104 @@ class AotCache:
         return compiled, False
 
 
-def maybe_aot(cache_dir: Optional[str]) -> Optional[AotCache]:
-    return AotCache(cache_dir) if cache_dir else None
+def deserialization_beats_compile(cache_dir: str, margin: float = 1.2) -> bool:
+    """Measure ONCE per (backend, device kind, jax version) whether loading
+    a serialized executable actually beats compiling it.
+
+    On some backends it does not — the tunneled axon TPU deserializes a
+    small program slower than it recompiles it (BASELINE.md: 250-410 s
+    warm start vs ~150 s cold compile at ABC scale) — and a cache that
+    loses must auto-disable rather than degrade startup. The verdict is
+    persisted in ``<cache_dir>/backend_probe.json``.
+
+    Timing details: outputs are synchronized by HOST FETCH (np.asarray),
+    not ``block_until_ready`` — deserialized executables do not block
+    under the latter on the axon backend; inputs are salted per process
+    so server-side result caches cannot fake execution.
+    """
+    import json
+    import time
+
+    import numpy as np
+
+    dev = jax.devices()[0]
+    key = "-".join([jax.default_backend(), dev.device_kind, jax.__version__])
+    path = os.path.join(cache_dir, "backend_probe.json")
+    data: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001 -- corrupt probe file: re-measure
+            data = {}
+        if key in data:
+            return bool(data[key]["wins"])
+
+    import jax.numpy as jnp
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load,
+        serialize,
+    )
+
+    def probe(x):
+        def body(c, _):
+            return jnp.tanh(c @ c), ()
+
+        c, _ = jax.lax.scan(body, x, None, length=8)
+        return c
+
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
+    x1 = jnp.asarray(rng.normal(size=(128, 128)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(128, 128)), jnp.float32)
+
+    t0 = time.perf_counter()
+    compiled = jax.jit(probe).lower(x1).compile()
+    np.asarray(compiled(x1))
+    t_compile = time.perf_counter() - t0
+
+    t_deser = float("inf")
+    try:
+        payload, in_tree, out_tree = serialize(compiled)
+        t0 = time.perf_counter()
+        exe = deserialize_and_load(payload, in_tree, out_tree)
+        np.asarray(exe(x2))
+        t_deser = time.perf_counter() - t0
+        wins = t_deser <= t_compile * margin
+    except Exception as e:  # noqa: BLE001 -- serialization unsupported
+        print(f"aot probe: serialization unsupported here ({e})")
+        wins = False
+
+    data[key] = {
+        "wins": wins,
+        "t_compile_s": round(t_compile, 3),
+        "t_deserialize_s": round(t_deser, 3) if np.isfinite(t_deser) else None,
+    }
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, path)
+    verdict = (
+        "enabled"
+        if wins
+        else "DISABLED (deserialization loses on this backend; plain jit)"
+    )
+    print(
+        f"aot probe [{key}]: compile {t_compile:.2f}s vs deserialize "
+        f"{t_deser:.2f}s -> AOT cache {verdict}"
+    )
+    return wins
+
+
+def maybe_aot(cache_dir: Optional[str], probe: bool = False) -> Optional[AotCache]:
+    """AotCache for ``cache_dir``, or None (plain jit) when no dir is given
+    — or when ``probe=True`` and the one-time backend probe shows
+    deserialization losing to compilation on this backend."""
+    if not cache_dir:
+        return None
+    if probe and not deserialization_beats_compile(cache_dir):
+        return None
+    return AotCache(cache_dir)
 
 
 def wrap_stage(cache: Optional[AotCache], fn: Callable, name: str, fingerprint: str = "") -> Callable:

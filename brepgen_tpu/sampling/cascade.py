@@ -356,7 +356,10 @@ def build_cascade(
     # deserialization on remote backends costs more than it saves).
     from brepgen_tpu.sampling.aot import maybe_aot, wrap_stage
 
-    _aot = maybe_aot(aot_cache_dir)
+    # probe=True: a one-time backend measurement disables the cache where
+    # deserialization is slower than recompiling (--aot_cache must never
+    # degrade startup)
+    _aot = maybe_aot(aot_cache_dir, probe=True)
     fp = f"{repr(cfg)}|v{PROGRAM_VERSION}"
     w_surfpos_pndm = wrap_stage(_aot, prog_surfpos_pndm, "surfpos_pndm", fp)
     w_surfpos_ddim = wrap_stage(_aot, prog_surfpos_ddim, "surfpos_ddim", fp)

@@ -40,6 +40,42 @@ def test_aot_wrap_correct_and_cached(tmp_path):
     assert len(glob.glob(str(tmp_path / "double-*.jaxexe"))) == 2
 
 
+def test_aot_probe_and_auto_disable(tmp_path):
+    """maybe_aot(probe=True) measures once, persists the verdict, and
+    returns None (plain jit) on backends where deserialization loses."""
+    import json
+
+    from brepgen_tpu.sampling.aot import (
+        deserialization_beats_compile,
+        maybe_aot,
+    )
+
+    d = str(tmp_path / "cache")
+    wins = deserialization_beats_compile(d)
+    probe_file = tmp_path / "cache" / "backend_probe.json"
+    assert probe_file.exists()
+    with open(probe_file) as f:
+        data = json.load(f)
+    (entry,) = data.values()
+    assert entry["wins"] == wins and entry["t_compile_s"] > 0
+    # second call returns the persisted verdict (no re-measure: the file
+    # content is unchanged even if timings would differ)
+    before = probe_file.read_text()
+    assert deserialization_beats_compile(d) == wins
+    assert probe_file.read_text() == before
+
+    cache = maybe_aot(d, probe=True)
+    assert (cache is not None) == wins
+
+    # forced losing verdict -> cache auto-disabled
+    key = next(iter(data))
+    data[key]["wins"] = False
+    with open(probe_file, "w") as f:
+        json.dump(data, f)
+    assert maybe_aot(d, probe=True) is None
+    assert maybe_aot(d, probe=False) is not None  # explicit opt-out keeps it
+
+
 def test_aot_signature_distinguishes_shapes(tmp_path):
     cache = AotCache(str(tmp_path))
     k1 = cache._key("f", (jnp.zeros((2, 3)),), "")
