@@ -51,11 +51,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                    # [bq, S] f32 in VMEM
     logits = logits + bias_ref[0]  # [1, S] broadcasts over rows
-    probs = jax.nn.softmax(logits, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    # post-normalized softmax: dividing the [bq, D] PV result instead of
+    # the [bq, S] probabilities saves a full-width VPU pass per program
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -159,11 +164,16 @@ def _packed_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, bias_ref, o_ref, *, scale, H
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale + bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            probs.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+        # post-normalized softmax (divide the [bq, D] PV result, not the
+        # [bq, S] probabilities): one fewer full-width VPU pass per head
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
@@ -231,8 +241,15 @@ def _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret):
 # Largest single full-S K (or V) column-block, in bytes, that the resident
 # packed kernel keeps in VMEM; above this the K-chunked (online-softmax)
 # variant streams K/V instead. 4 MB ~= the measured v5e fallback point
-# (S ~2700 at W=768 bf16) with double-buffering headroom.
-PACKED_RESIDENT_BYTES = 4 * 1024 * 1024
+# (S ~2700 at W=768 bf16) with double-buffering headroom; override per
+# deployment with BREPGEN_PACKED_RESIDENT_MB (S=4096 K/V blocks are
+# 6.3 MB — still inside the 100 MB scoped-vmem budget — so higher values
+# are worth sweeping on new backends).
+import os as _os
+
+PACKED_RESIDENT_BYTES = (
+    int(_os.environ.get("BREPGEN_PACKED_RESIDENT_MB", "4")) * 1024 * 1024
+)
 
 
 def _packed_flash_kernel(
@@ -290,7 +307,11 @@ def _packed_flash_forward(qkv, num_heads, key_padding_mask, block_q, block_k,
     if block_q is None:
         block_q = 512
     if block_k is None:
-        block_k = 512
+        # larger k-chunks amortize per-dot-general fixed cost: at
+        # block_k=512 a 12-head S=4096 layer issues ~24k tiny MXU
+        # contractions across the grid, and dispatch overhead dominates
+        # (measured 54 ms/layer vs the per-head kernel's 21)
+        block_k = 1024
     # one padded length must tile both the q- and k-grids
     step = max(block_q, block_k)
     assert step % min(block_q, block_k) == 0
