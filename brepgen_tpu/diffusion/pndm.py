@@ -25,6 +25,16 @@ Semantics cross-checked against a sequential transliteration in
 ``tests/test_pndm.py``. The reference truncates the position stages after
 158 of the 209 scheduler calls (``sample.py:129``) and hands off to DDPM at
 t=249; ``max_calls`` reproduces that.
+
+ORACLE CAVEAT: the sequential oracle was re-derived from the PNDM paper +
+diffusers' documented behavior by the same author as this plan compiler —
+diffusers itself is not installed here and the released checkpoints are
+unreachable (zero egress), so a shared misreading of diffusers' PNDM
+(warm-up indexing, ``set_alpha_to_one``, the 158-call truncation hand-off)
+would pass both sides. When diffusers 0.27 source or real checkpoints
+become available, replace the oracle with a transliteration of
+``PNDMScheduler.step`` itself and run the converter round-trip as the
+decisive check.
 """
 
 from __future__ import annotations
