@@ -228,6 +228,10 @@ def main(argv=None):
                    help="N-step DDIM per stage instead of the full protocol")
     p.add_argument("--aot_cache", type=str, default="",
                    help="dir for serialized stage executables (compile once)")
+    p.add_argument("--compact", action="store_true",
+                   help="run the edge stages on a compacted face bucket "
+                        "after dedup (trained models dedup heavily; cuts "
+                        "the quadratic attention cost ~2x at ABC scale)")
     args = p.parse_args(argv)
 
     cfg_path = args.config or os.path.abspath(DEFAULT_CONFIG)
@@ -239,6 +243,8 @@ def main(argv=None):
         for k in ("pndm_steps", "pos_pndm_calls", "ddpm_tail", "fast_steps")
         if getattr(args, k) is not None
     }
+    if args.compact:
+        overrides["compact"] = True
     sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,
                 small=args.small, step_overrides=overrides,
                 aot_cache=args.aot_cache or None)

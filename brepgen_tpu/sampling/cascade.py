@@ -25,6 +25,7 @@ parallel across CAD solids).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -83,6 +84,19 @@ class CascadeConfig:
     # backends kill single executions past ~60 s; ABC edge evals are
     # ~0.33 s each, so 64 keeps a wide margin)
     seg_calls: int = 64
+    # face-token compaction: after face dedup, gather kept faces to the
+    # front and run the (quadratic-in-tokens) edge stages on a shortened
+    # face bucket — a multiple of compact_granularity, one compiled
+    # program per bucket — then scatter back. Trained models dedup the
+    # doubled face set heavily (ABC: 100 slots -> ~#real faces), roughly
+    # halving edge-stage sequence length at production scale; untrained/
+    # random weights dedup nothing and compaction is a no-op. Kept-face
+    # PNDM trajectories are bit-comparable to the uncompacted run (init
+    # noise is drawn at full shape and gathered); DDPM tails draw
+    # in-scan noise shaped by the bucket, so kept-face outputs there are
+    # a different-but-equally-valid sample.
+    compact: bool = False
+    compact_granularity: int = 8
 
     @classmethod
     def for_mode(cls, mode: str, batch_size: int = 16, class_label: str = "uncond"):
@@ -256,78 +270,141 @@ def build_cascade(
     def prog_surfz_ddim(params, x, plan_seg, surfpos, surf_mask):
         return ddim_scan(_surfz_eps(params, surfpos, surf_mask), x, plan_seg)
 
-    def _edgepos_eps(params, surfpos, surfz, surf_mask):
-        raw_eps = make_stage_eps(
-            "edgepos",
-            params,
-            lambda x: {"edgepos": x},
-            {
-                "surfpos": broadcast_face_to_edge(surfpos, ne),
-                "surfz": broadcast_face_to_edge(surfz, ne),
-            },
-            jnp.repeat(surf_mask, ne, axis=1),
+    def _make_edge_programs(ns_cur: int):
+        """Edge-stage programs for a face count of ``ns_cur``.
+
+        ``ns_cur == ns`` is the normal full-shape path; compaction
+        (cfg.compact) instantiates additional shortened buckets.
+        """
+
+        def _edgepos_eps(params, surfpos, surfz, surf_mask):
+            raw_eps = make_stage_eps(
+                "edgepos",
+                params,
+                lambda x: {"edgepos": x},
+                {
+                    "surfpos": broadcast_face_to_edge(surfpos, ne),
+                    "surfz": broadcast_face_to_edge(surfz, ne),
+                },
+                jnp.repeat(surf_mask, ne, axis=1),
+            )
+
+            def edgepos_eps(x, t):
+                return raw_eps(flatten_face_edge(x), t).reshape(B, ns_cur, ne, 6)
+
+            return edgepos_eps
+
+        @jax.jit
+        def prog_edgepos_noise(key):
+            return _shard(jax.random.normal(key, (B, ns_cur, ne, 6)))
+
+        @jax.jit
+        def prog_edgepos_pndm(params, carry, plan_seg, surfpos, surfz, surf_mask):
+            eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
+            return pndm_scan_carry(eps, carry, plan_seg)
+
+        @jax.jit
+        def prog_edgepos_ddim(params, x, plan_seg, surfpos, surfz, surf_mask):
+            eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
+            return ddim_scan(eps, x, plan_seg, clip_range=cfg.ddpm_clip)
+
+        @jax.jit
+        def prog_edgepos_ddpm(params, x, plan_seg, key, surfpos, surfz, surf_mask):
+            eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
+            return ddpm_scan(eps, x, plan_seg, key, cfg.ddpm_clip)
+
+        # --- edgeZ --------------------------------------------------------
+        def _edgez_eps(params, edgepos, surfpos, surfz, edge_mask):
+            raw_eps = make_stage_eps(
+                "edgez",
+                params,
+                lambda x: {"edgez": x[..., :12], "vertpos": x[..., 12:]},
+                {
+                    "edgepos": flatten_face_edge(edgepos),
+                    "surfpos": broadcast_face_to_edge(surfpos, ne),
+                    "surfz": broadcast_face_to_edge(surfz, ne),
+                },
+                edge_mask.reshape(B, ns_cur * ne),
+            )
+
+            def edgez_eps(x, t):
+                flat = x.reshape(B, ns_cur * ne, 18)
+                return raw_eps(flat, t).reshape(B, ns_cur, ne, 18)
+
+            return edgez_eps
+
+        @jax.jit
+        def prog_edgez_prep(key, edgepos, surf_keep):
+            edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
+            edge_mask = ~edge_keep
+            z0 = _shard(jax.random.normal(key, (B, ns_cur, ne, 18)))
+            return edge_mask, z0
+
+        @jax.jit
+        def prog_edgez_noise(key):
+            return _shard(jax.random.normal(key, (B, ns_cur, ne, 18)))
+
+        @jax.jit
+        def prog_edgez_mask(edgepos, surf_keep):
+            return ~dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
+
+        @jax.jit
+        def prog_edgez_pndm(params, carry, plan_seg, edgepos, surfpos, surfz, edge_mask):
+            eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
+            return pndm_scan_carry(eps, carry, plan_seg)
+
+        @jax.jit
+        def prog_edgez_ddim(params, x, plan_seg, edgepos, surfpos, surfz, edge_mask):
+            eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
+            return ddim_scan(eps, x, plan_seg)
+
+        return dict(
+            noise=prog_edgepos_noise,
+            ep_pndm=prog_edgepos_pndm,
+            ep_ddim=prog_edgepos_ddim,
+            ep_ddpm=prog_edgepos_ddpm,
+            ez_prep=prog_edgez_prep,
+            ez_noise=prog_edgez_noise,
+            ez_mask=prog_edgez_mask,
+            ez_pndm=prog_edgez_pndm,
+            ez_ddim=prog_edgez_ddim,
         )
 
-        def edgepos_eps(x, t):
-            return raw_eps(flatten_face_edge(x), t).reshape(B, ns, ne, 6)
-
-        return edgepos_eps
-
+    # --- face-token compaction helpers (cfg.compact) ----------------------
     @jax.jit
-    def prog_edgepos_noise(key):
-        return _shard(jax.random.normal(key, (B, ns, ne, 6)))
+    def prog_compact_order(surf_keep):
+        # stable argsort: kept faces first, original relative order intact
+        order = jnp.argsort(~surf_keep, axis=1, stable=True)  # [B, ns]
+        count = jnp.max(jnp.sum(surf_keep, axis=1))
+        return order, count
 
-    @jax.jit
-    def prog_edgepos_pndm(params, carry, plan_seg, surfpos, surfz, surf_mask):
-        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
-        return pndm_scan_carry(eps, carry, plan_seg)
+    @functools.lru_cache(maxsize=None)
+    def _compact_helpers(ns_c: int):
+        idx_of = lambda order: order[:, :ns_c]
 
-    @jax.jit
-    def prog_edgepos_ddim(params, x, plan_seg, surfpos, surfz, surf_mask):
-        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
-        return ddim_scan(eps, x, plan_seg, clip_range=cfg.ddpm_clip)
+        @jax.jit
+        def gather(order, *arrays):
+            idx = idx_of(order)
+            out = []
+            for a in arrays:
+                ix = idx.reshape(B, ns_c, *([1] * (a.ndim - 2)))
+                out.append(jnp.take_along_axis(a, ix.astype(jnp.int32), axis=1))
+            return tuple(out)
 
-    @jax.jit
-    def prog_edgepos_ddpm(params, x, plan_seg, key, surfpos, surfz, surf_mask):
-        eps = _edgepos_eps(params, surfpos, surfz, surf_mask)
-        return ddpm_scan(eps, x, plan_seg, key, cfg.ddpm_clip)
+        @jax.jit
+        def scatter_edges(order, edgepos_c, edge_mask_c, edgezv_c):
+            idx = idx_of(order)
+            rows = jnp.arange(B)[:, None]
+            edgepos = jnp.zeros((B, ns, ne, 6), edgepos_c.dtype)
+            edgezv = jnp.zeros((B, ns, ne, 18), edgezv_c.dtype)
+            edge_mask = jnp.ones((B, ns, ne), bool)  # True = pad
+            return (
+                edgepos.at[rows, idx].set(edgepos_c),
+                edge_mask.at[rows, idx].set(edge_mask_c),
+                edgezv.at[rows, idx].set(edgezv_c),
+            )
 
-    # --- edgeZ ------------------------------------------------------------
-    def _edgez_eps(params, edgepos, surfpos, surfz, edge_mask):
-        raw_eps = make_stage_eps(
-            "edgez",
-            params,
-            lambda x: {"edgez": x[..., :12], "vertpos": x[..., 12:]},
-            {
-                "edgepos": flatten_face_edge(edgepos),
-                "surfpos": broadcast_face_to_edge(surfpos, ne),
-                "surfz": broadcast_face_to_edge(surfz, ne),
-            },
-            edge_mask.reshape(B, ns * ne),
-        )
-
-        def edgez_eps(x, t):
-            flat = x.reshape(B, ns * ne, 18)
-            return raw_eps(flat, t).reshape(B, ns, ne, 18)
-
-        return edgez_eps
-
-    @jax.jit
-    def prog_edgez_prep(key, edgepos, surf_keep):
-        edge_keep = dedup_edges_per_face(edgepos, surf_keep, cfg.bbox_threshold)
-        edge_mask = ~edge_keep
-        z0 = _shard(jax.random.normal(key, (B, ns, ne, 18)))
-        return edge_mask, z0
-
-    @jax.jit
-    def prog_edgez_pndm(params, carry, plan_seg, edgepos, surfpos, surfz, edge_mask):
-        eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
-        return pndm_scan_carry(eps, carry, plan_seg)
-
-    @jax.jit
-    def prog_edgez_ddim(params, x, plan_seg, edgepos, surfpos, surfz, edge_mask):
-        eps = _edgez_eps(params, edgepos, surfpos, surfz, edge_mask)
-        return ddim_scan(eps, x, plan_seg)
+        return gather, scatter_edges
 
     @jax.jit
     def stage_decode(sp, ep, surfz, edgezv):
@@ -366,12 +443,32 @@ def build_cascade(
     w_surfpos_ddpm = wrap_stage(_aot, prog_surfpos_ddpm, "surfpos_ddpm", fp)
     w_surfz_pndm = wrap_stage(_aot, prog_surfz_pndm, "surfz_pndm", fp)
     w_surfz_ddim = wrap_stage(_aot, prog_surfz_ddim, "surfz_ddim", fp)
-    w_edgepos_pndm = wrap_stage(_aot, prog_edgepos_pndm, "edgepos_pndm", fp)
-    w_edgepos_ddim = wrap_stage(_aot, prog_edgepos_ddim, "edgepos_ddim", fp)
-    w_edgepos_ddpm = wrap_stage(_aot, prog_edgepos_ddpm, "edgepos_ddpm", fp)
-    w_edgez_pndm = wrap_stage(_aot, prog_edgez_pndm, "edgez_pndm", fp)
-    w_edgez_ddim = wrap_stage(_aot, prog_edgez_ddim, "edgez_ddim", fp)
     s_decode = wrap_stage(_aot, stage_decode, "decode", fp)
+
+    _edge_prog_cache: Dict[int, dict] = {}
+
+    def edge_programs(ns_cur: int) -> dict:
+        """AOT-wrapped edge-stage programs for a face bucket (cached)."""
+        if ns_cur not in _edge_prog_cache:
+            raw = _make_edge_programs(ns_cur)
+            sfx = "" if ns_cur == ns else f"_ns{ns_cur}"
+            _edge_prog_cache[ns_cur] = dict(
+                noise=raw["noise"],
+                ez_prep=raw["ez_prep"],
+                ez_noise=raw["ez_noise"],
+                ez_mask=raw["ez_mask"],
+                **{
+                    k: wrap_stage(_aot, raw[k], f"{name}{sfx}", fp)
+                    for k, name in (
+                        ("ep_pndm", "edgepos_pndm"),
+                        ("ep_ddim", "edgepos_ddim"),
+                        ("ep_ddpm", "edgepos_ddpm"),
+                        ("ez_pndm", "edgez_pndm"),
+                        ("ez_ddim", "edgez_ddim"),
+                    )
+                },
+            )
+        return _edge_prog_cache[ns_cur]
 
     def s_surfpos(params, key):
         k0, k1 = jax.random.split(key)
@@ -409,32 +506,38 @@ def build_cascade(
             z = carry[0]
         return surfpos, surf_mask, surf_keep, z
 
-    def s_edgepos(params, key, surfpos, surfz, surf_mask):
-        x = prog_edgepos_noise(key)
+    def s_edgepos(params, key, surfpos, surfz, surf_mask, progs=None, x0=None):
+        progs = progs or edge_programs(ns)
+        x = progs["noise"](key) if x0 is None else x0
         if fast:
             for seg in ddim_chunks:
-                x = w_edgepos_ddim(params, x, seg, surfpos, surfz, surf_mask)
+                x = progs["ep_ddim"](params, x, seg, surfpos, surfz, surf_mask)
             return x
         carry = pndm_init_carry(x)
         for seg in pndm_pos_chunks:
-            carry = w_edgepos_pndm(params, carry, seg, surfpos, surfz, surf_mask)
+            carry = progs["ep_pndm"](params, carry, seg, surfpos, surfz, surf_mask)
         x = carry[0]
         kd = jax.random.fold_in(key, 1)
         for i, seg in enumerate(ddpm_chunks):
-            x = w_edgepos_ddpm(
+            x = progs["ep_ddpm"](
                 params, x, seg, jax.random.fold_in(kd, i), surfpos, surfz, surf_mask
             )
         return x
 
-    def s_edgez(params, key, edgepos, surfpos, surfz, surf_keep):
-        edge_mask, z = prog_edgez_prep(key, edgepos, surf_keep)
+    def s_edgez(params, key, edgepos, surfpos, surfz, surf_keep, progs=None,
+                z0=None):
+        progs = progs or edge_programs(ns)
+        if z0 is None:
+            edge_mask, z = progs["ez_prep"](key, edgepos, surf_keep)
+        else:
+            edge_mask, z = progs["ez_mask"](edgepos, surf_keep), z0
         if fast:
             for seg in ddim_chunks:
-                z = w_edgez_ddim(params, z, seg, edgepos, surfpos, surfz, edge_mask)
+                z = progs["ez_ddim"](params, z, seg, edgepos, surfpos, surfz, edge_mask)
         else:
             carry = pndm_init_carry(z)
             for seg in pndm_full_chunks:
-                carry = w_edgez_pndm(
+                carry = progs["ez_pndm"](
                     params, carry, seg, edgepos, surfpos, surfz, edge_mask
                 )
             z = carry[0]
@@ -456,9 +559,9 @@ def build_cascade(
                 _np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
 
         def timed(fn, name):
-            def run(*args):
+            def run(*args, **kwargs):
                 _t0 = _time.perf_counter()
-                out = fn(*args)
+                out = fn(*args, **kwargs)
                 _sync(out)
                 stage_times[name] = stage_times.get(name, 0.0) + (
                     _time.perf_counter() - _t0
@@ -532,10 +635,40 @@ def build_cascade(
         surfpos = s_surfpos(net_params["surfpos"], keys[0])
         surfpos, surf_mask, surf_keep, surfz = s_surfz(
             net_params["surfz"], keys[2], surfpos)
-        edgepos = s_edgepos(
-            net_params["edgepos"], keys[3], surfpos, surfz, surf_mask)
-        edge_mask, edgezv = s_edgez(
-            net_params["edgez"], keys[5], edgepos, surfpos, surfz, surf_keep)
+
+        ns_c = ns
+        if cfg.compact:
+            order, count = prog_compact_order(surf_keep)
+            g = cfg.compact_granularity
+            ns_c = min(ns, max(g, -(-int(count) // g) * g))  # host sync on count
+        if ns_c < ns:
+            progs = edge_programs(ns_c)
+            gather, scatter_edges = _compact_helpers(ns_c)
+            sp_c, sz_c, mask_c, keep_c = gather(
+                order, surfpos, surfz, surf_mask, surf_keep
+            )
+            # init noise at FULL shape then gathered: kept-face PNDM
+            # trajectories are bit-comparable to the uncompacted run
+            full = edge_programs(ns)
+            x0_c, z0_c = gather(
+                order, full["noise"](keys[3]), full["ez_noise"](keys[5])
+            )
+            edgepos_c = s_edgepos(
+                net_params["edgepos"], keys[3], sp_c, sz_c, mask_c,
+                progs=progs, x0=x0_c,
+            )
+            edge_mask_c, edgezv_c = s_edgez(
+                net_params["edgez"], keys[5], edgepos_c, sp_c, sz_c, keep_c,
+                progs=progs, z0=z0_c,
+            )
+            edgepos, edge_mask, edgezv = scatter_edges(
+                order, edgepos_c, edge_mask_c, edgezv_c
+            )
+        else:
+            edgepos = s_edgepos(
+                net_params["edgepos"], keys[3], surfpos, surfz, surf_mask)
+            edge_mask, edgezv = s_edgez(
+                net_params["edgez"], keys[5], edgepos, surfpos, surfz, surf_keep)
         surf_ncs, edge_ncs = s_decode(
             surf_vae_params, edge_vae_params, surfz, edgezv)
         return {

@@ -67,14 +67,15 @@ def test_edge_dedup_respects_face_mask():
     assert keep[0, 0, 0] and keep[0, 2, 0]  # first edge of valid faces kept
 
 
-def _build_tiny_cascade_with(use_cf=False, mesh=None, batch_size=2, fast_steps=0):
+def _build_tiny_cascade_with(use_cf=False, mesh=None, batch_size=2, fast_steps=0,
+                             **cfg_overrides):
     nets = {
         "surfpos": make_surfpos_net(use_cf=use_cf, **SMALL),
         "surfz": make_surfz_net(use_cf=use_cf, **SMALL),
         "edgepos": make_edgepos_net(use_cf=use_cf, **SMALL),
         "edgez": make_edgez_net(use_cf=use_cf, **SMALL),
     }
-    cfg = CascadeConfig(
+    cfg_kw = dict(
         batch_size=batch_size,
         num_surfaces=4,
         num_edges=3,
@@ -85,6 +86,8 @@ def _build_tiny_cascade_with(use_cf=False, mesh=None, batch_size=2, fast_steps=0
         ddpm_tail=5,
         fast_steps=fast_steps,
     )
+    cfg_kw.update(cfg_overrides)
+    cfg = CascadeConfig(**cfg_kw)
     B, ns0, ne = cfg.batch_size, cfg.num_surfaces, cfg.num_edges
     label = jnp.zeros((B, 1), jnp.int32) if use_cf else None
     params = {
@@ -159,3 +162,42 @@ def test_cascade_cfg_end_to_end():
 
 def _build_tiny_cascade(use_cf=False, mesh=None, batch_size=2):
     return _build_tiny_cascade_with(use_cf=use_cf, mesh=mesh, batch_size=batch_size)
+
+
+def test_compaction_matches_uncompacted():
+    """cfg.compact face-token compaction: with a huge bbox_threshold every
+    non-slot-0 face dedups away, so the edge stages run on the minimum
+    bucket; kept-face outputs must match the full-shape run (PNDM-only:
+    init noise is drawn at full shape and gathered, PNDM is deterministic).
+    """
+    over = dict(bbox_threshold=100.0, ddpm_tail=0)
+    plain, _ = _build_tiny_cascade_with(**over)
+    compact, cfg = _build_tiny_cascade_with(
+        compact=True, compact_granularity=2, **over
+    )
+    out_p = plain(jax.random.PRNGKey(7))
+    out_c = compact(jax.random.PRNGKey(7))
+
+    keep = ~np.asarray(out_p["surf_mask"])  # [B, ns]
+    assert keep.sum(axis=1).max() == 1  # threshold collapsed to slot 0
+    np.testing.assert_array_equal(np.asarray(out_c["surf_mask"]), ~keep)
+    np.testing.assert_array_equal(
+        np.asarray(out_c["edge_mask"])[keep], np.asarray(out_p["edge_mask"])[keep]
+    )
+    for k in ("surf_pos", "surf_z", "surf_ncs"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[k], np.float32), np.asarray(out_p[k], np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+    for k in ("edge_pos", "edge_z", "edge_v", "edge_ncs"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[k], np.float32)[keep],
+            np.asarray(out_p[k], np.float32)[keep],
+            rtol=1e-4, atol=1e-4,
+        )
+    # faces outside the compacted bucket scatter back as zeros: at most
+    # ns_c(=granularity) faces per sample carry nonzero edge boxes
+    nonzero_faces = (
+        np.abs(np.asarray(out_c["edge_pos"], np.float32)).max(axis=(2, 3)) > 0
+    ).sum(axis=1)
+    assert nonzero_faces.max() <= 2
