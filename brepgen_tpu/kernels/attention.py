@@ -71,14 +71,17 @@ def default_block_q(S: int, packed: bool = True) -> int:
     """Measured-optimal q-block size (v5e sweeps, scan-based timing).
 
     Packed all-heads kernel at S=1800: bq 384 -> 54.2 ms edge step vs
-    640 -> 59.1 and full-S 1920 -> 55.9. Per-head kernel at S=4000:
-    bq 512 -> 14.3 ms/layer vs 128 -> 15.5. Small sets just round up --
-    one program covers everything.
+    640 -> 59.1 and full-S 1920 -> 55.9; at S=4096 bq 256 -> 13.2
+    ms/layer vs 384 -> 16.5 and 512 -> 14.3 (round-3 sweep,
+    scripts/attn_sweep_r3.py). Per-head kernel at S=4000: bq 512 ->
+    14.3 ms/layer vs 128 -> 15.5. Small sets just round up -- one
+    program covers everything.
     """
-    target = 384 if packed else 512
-    if S <= target:
+    if not packed:
+        return 512 if S > 512 else max(_round_up(S, 128), 128)
+    if S <= 384:
         return max(_round_up(S, 128), 128)
-    return target
+    return 384 if S <= 2700 else 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -240,15 +243,16 @@ def _packed_forward(qkv, num_heads, key_padding_mask, block_q, interpret):
 
 # Largest single full-S K (or V) column-block, in bytes, that the resident
 # packed kernel keeps in VMEM; above this the K-chunked (online-softmax)
-# variant streams K/V instead. 4 MB ~= the measured v5e fallback point
-# (S ~2700 at W=768 bf16) with double-buffering headroom; override per
-# deployment with BREPGEN_PACKED_RESIDENT_MB (S=4096 K/V blocks are
-# 6.3 MB — still inside the 100 MB scoped-vmem budget — so higher values
-# are worth sweeping on new backends).
+# variant streams K/V instead. Round-3 v5e sweep (scripts/attn_sweep_r3
+# .py): the resident kernel WINS at S=4096 (13.2 ms/layer at bq=256 vs
+# the per-head kernel's 21 and flash-bk2048's 14.2) — its 6.3 MB K/V
+# column-blocks sit comfortably inside the 100 MB scoped-vmem budget —
+# so the default keeps residency through ABC scale (8 MB ~= S 5460 at
+# W=768 bf16). Override per deployment with BREPGEN_PACKED_RESIDENT_MB.
 import os as _os
 
 PACKED_RESIDENT_BYTES = (
-    int(_os.environ.get("BREPGEN_PACKED_RESIDENT_MB", "4")) * 1024 * 1024
+    int(_os.environ.get("BREPGEN_PACKED_RESIDENT_MB", "8")) * 1024 * 1024
 )
 
 
@@ -307,11 +311,10 @@ def _packed_flash_forward(qkv, num_heads, key_padding_mask, block_q, block_k,
     if block_q is None:
         block_q = 512
     if block_k is None:
-        # larger k-chunks amortize per-dot-general fixed cost: at
-        # block_k=512 a 12-head S=4096 layer issues ~24k tiny MXU
-        # contractions across the grid, and dispatch overhead dominates
-        # (measured 54 ms/layer vs the per-head kernel's 21)
-        block_k = 1024
+        # larger k-chunks amortize per-contraction fixed cost: round-3
+        # sweep at S=4096 measured 26.1 / 15.9 / 14.2 ms/layer for
+        # block_k 512 / 1024 / 2048
+        block_k = 2048
     # one padded length must tile both the q- and k-grids
     step = max(block_q, block_k)
     assert step % min(block_q, block_k) == 0
