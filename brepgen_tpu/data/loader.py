@@ -71,16 +71,25 @@ class Batcher:
         drop_last: bool = True,
         class_labels: Optional[Sequence[int]] = None,
         num_workers: int = 0,
+        clamp_to_cpus: bool = True,
     ):
         self.samples = list(samples)
         self.assemble_fn = assemble_fn
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.class_labels = class_labels
-        self.num_workers = num_workers
+        # A pool cannot beat in-process assembly without spare cores: clamp
+        # to cpu_count-1 (one core stays with the consumer/device threads).
+        # On a 1-core host (this dev container) the pool is pure IPC +
+        # context-switch overhead, measured 8x SLOWER than in-process
+        # (scripts/io_bench.py) — real TPU hosts have 100+ cores.
+        import os
+
+        avail = max((os.cpu_count() or 1) - 1, 0)
+        self.num_workers = min(num_workers, avail) if clamp_to_cpus else num_workers
         self._rng = np.random.default_rng(seed)
         self._pool = None
-        if num_workers > 0:
+        if self.num_workers > 0:
             try:
                 pickle.dumps(assemble_fn)
             except Exception:
@@ -97,7 +106,7 @@ class Batcher:
                 from concurrent.futures import ProcessPoolExecutor
 
                 self._pool = ProcessPoolExecutor(
-                    num_workers,
+                    self.num_workers,
                     mp_context=multiprocessing.get_context("spawn"),
                     initializer=_pool_init,
                     initargs=(self.samples, assemble_fn),

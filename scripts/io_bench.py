@@ -41,7 +41,10 @@ def host_rate(option, batch_size, workers, n_batches=8):
         asm = partial(
             assemble_edgez, max_face=NF, max_edge=NE, bbox_scaled=3.0, aug=True
         )
-    b = Batcher(ds, asm, batch_size, num_workers=workers, drop_last=False)
+    # clamp_to_cpus=False: measure the pool even on a 1-core host (the
+    # production Batcher clamps it away there, and this bench documents why)
+    b = Batcher(ds, asm, batch_size, num_workers=workers, drop_last=False,
+                clamp_to_cpus=False)
     it = iter(b)
     next(it)  # warm (includes process-pool spawn cost)
     t0 = time.perf_counter()
@@ -105,7 +108,7 @@ def device_rate(option, batch_size, n_steps=20):
 
 
 def main():
-    report = {}
+    report = {"host_cpus": os.cpu_count()}
     for option, bs in (("surfpos", 512), ("edgez", 128)):
         for workers in (0, 8):
             r = host_rate(option, bs, workers)

@@ -141,7 +141,12 @@ def test_batcher_process_pool_matches_inprocess():
     samples = make_dataset(10, seed=1)
     asm = functools.partial(_asz, max_face=12)
     ref = list(Batcher(samples, asm, batch_size=4, seed=0))
-    pooled = Batcher(samples, asm, batch_size=4, seed=0, num_workers=2)
+    # clamp_to_cpus=False: the dev container has 1 core, which would
+    # (correctly) disable the pool in production; the test wants the pool.
+    pooled = Batcher(
+        samples, asm, batch_size=4, seed=0, num_workers=2, clamp_to_cpus=False
+    )
+    assert pooled._pool is not None
     try:
         got = list(pooled)
     finally:
@@ -154,7 +159,7 @@ def test_batcher_process_pool_matches_inprocess():
     with pytest.warns(UserWarning, match="not picklable"):
         fallback = Batcher(
             samples, lambda d, rng: asm(d, rng), batch_size=4, seed=0,
-            num_workers=2,
+            num_workers=2, clamp_to_cpus=False,
         )
     assert fallback._pool is None
 
