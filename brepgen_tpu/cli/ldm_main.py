@@ -62,6 +62,11 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--assembly", choices=("batched", "per_sample"),
+                   default="batched",
+                   help="host batch assembly: one vectorized call per batch "
+                        "(default; same draws as per-sample) or the "
+                        "per-sample reference path")
     p.add_argument("--dp", action="store_true",
                    help="shard the batch over all devices (data parallel)")
     p.add_argument("--resume", action="store_true",
@@ -93,6 +98,36 @@ def make_assemble_fn(args):
     return functools.partial(
         assemble_edgez, max_face=args.max_face, max_edge=args.max_edge,
         bbox_scaled=args.bbox_scaled, aug=args.data_aug,
+    )
+
+
+def make_batch_assemble_fn(args):
+    """Vectorized whole-batch twin of ``make_assemble_fn`` (same draws per
+    (sample, seed); ``data/batch_assembly.py``)."""
+    if args.assembly != "batched":
+        return None
+    from brepgen_tpu.data import batch_assembly as BA
+
+    if args.option == "surfpos":
+        return functools.partial(
+            BA.assemble_surfpos_batched, max_face=args.max_face,
+            bbox_scaled=args.bbox_scaled, aug=args.data_aug,
+        )
+    if args.option == "surfz":
+        return functools.partial(
+            BA.assemble_surfz_batched, max_face=args.max_face,
+            bbox_scaled=args.bbox_scaled, aug=args.data_aug,
+        )
+    if args.option == "edgepos":
+        return functools.partial(
+            BA.assemble_edgepos_batched, max_face=args.max_face,
+            max_edge=args.max_edge, bbox_scaled=args.bbox_scaled,
+            aug=args.data_aug,
+        )
+    return functools.partial(
+        BA.assemble_edgez_batched, max_face=args.max_face,
+        max_edge=args.max_edge, bbox_scaled=args.bbox_scaled,
+        aug=args.data_aug,
     )
 
 
@@ -231,10 +266,13 @@ def main(argv=None):
     train_samples, train_labels = load_filtered_samples(args, "train")
     val_samples, val_labels = load_filtered_samples(args, "val")
     assemble = make_assemble_fn(args)
+    batch_assemble = make_batch_assemble_fn(args)
     batcher = Batcher(train_samples, assemble, args.batch_size, seed=args.seed,
-                      class_labels=train_labels, num_workers=args.num_workers)
+                      class_labels=train_labels, num_workers=args.num_workers,
+                      batch_assemble_fn=batch_assemble)
     val_batcher = Batcher(val_samples, assemble, min(args.batch_size, max(len(val_samples), 1)),
-                          seed=args.seed, class_labels=val_labels, drop_last=False)
+                          seed=args.seed, class_labels=val_labels, drop_last=False,
+                          batch_assemble_fn=batch_assemble)
 
     # optional data parallelism over every visible device (the TPU-native
     # replacement for the reference's nn.DataParallel, SURVEY.md section 2.3)

@@ -60,6 +60,12 @@ class Batcher:
     picklable assemble_fn — module function or functools.partial); a
     non-picklable assemble_fn falls back to in-process assembly with a
     warning.
+
+    batch_assemble_fn(samples, seeds) -> tuple of stacked [B, ...] arrays
+    (``batch_assembly.py``): when given it replaces per-sample assembly
+    with one vectorized call per batch — same distributions, exact same
+    per-(sample, seed) draws — and the worker pool is not used (the
+    vectorized path is faster than per-sample assembly on any core count).
     """
 
     def __init__(
@@ -72,9 +78,13 @@ class Batcher:
         class_labels: Optional[Sequence[int]] = None,
         num_workers: int = 0,
         clamp_to_cpus: bool = True,
+        batch_assemble_fn: Optional[Callable] = None,
     ):
         self.samples = list(samples)
         self.assemble_fn = assemble_fn
+        self.batch_assemble_fn = batch_assemble_fn
+        if batch_assemble_fn is not None:
+            num_workers = 0  # vectorized path; no pool
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.class_labels = class_labels
@@ -142,6 +152,17 @@ class Batcher:
             if self.drop_last and len(idxs) < self.batch_size:
                 break
             batch_seeds = seeds[start : start + len(idxs)]
+            if self.batch_assemble_fn is not None:
+                batch = self.batch_assemble_fn(
+                    [_load(self.samples[i]) for i in idxs], batch_seeds
+                )
+                if self.class_labels is not None:
+                    labels = np.asarray(
+                        [[self.class_labels[i] + 1] for i in idxs], np.int32
+                    )
+                    batch = tuple(batch) + (labels,)
+                yield tuple(batch)
+                continue
             if self._pool is not None:
                 chunk = max(1, len(idxs) // (2 * self.num_workers))
                 items = list(

@@ -50,16 +50,43 @@ def pairwise_chamfer(
 ) -> np.ndarray:
     """Full [N_sample, N_ref] chamfer matrix.
 
-    On TPU this runs the Pallas tile kernel (``kernels/chamfer.py``) --
-    one program per [32 x 8] pair tile, no [P, P] tensor ever in HBM; the
-    XLA block path remains for CPU and as the golden reference.
+    On TPU this runs the chunked-scan XLA tile (``kernels/chamfer.py:
+    chamfer_matrix_scan``): bounded [tile_s x tile_r] pair dispatches, no
+    [P, P] tensor ever materialized (the distance slab loop-fuses into a
+    running chunk min). The Pallas tile kernel exists behind
+    ``BREPGEN_CHAMFER_IMPL=pallas`` but is NOT the default: this
+    backend's Mosaic compiler takes >15 min on its unrolled body
+    (BASELINE.md, round 3). The XLA block path remains for CPU and as the
+    golden reference. Sample rows are dispatched in bounded slices
+    (``BREPGEN_CHAMFER_SLICE``, def. 256) so no single device execution
+    trips remote backends that kill >60 s executions.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     if backend == "pallas":
-        from brepgen_tpu.kernels.chamfer import chamfer_matrix
+        import os
 
-        return np.asarray(chamfer_matrix(sample_pcs, ref_pcs))
+        from brepgen_tpu.kernels import chamfer as CK
+
+        if os.environ.get("BREPGEN_CHAMFER_IMPL", "scan") != "pallas":
+            # scan tiles are already bounded dispatches; no outer slicing
+            return np.asarray(CK.chamfer_matrix_scan(sample_pcs, ref_pcs))
+
+        S, R = len(sample_pcs), len(ref_pcs)
+        rows = int(os.environ.get("BREPGEN_CHAMFER_SLICE", 256))
+        if S <= rows:
+            return np.asarray(CK.chamfer_matrix(sample_pcs, ref_pcs))
+        pad = (-S) % rows
+        sp = np.asarray(sample_pcs, np.float32)
+        if pad:
+            sp = np.concatenate([sp, np.zeros((pad,) + sp.shape[1:], sp.dtype)])
+        out = np.empty((S, R), np.float32)
+        for i in range(0, len(sp), rows):
+            block_out = np.asarray(CK.chamfer_matrix(sp[i : i + rows], ref_pcs))
+            take = min(rows, S - i)
+            if take > 0:
+                out[i : i + take] = block_out[:take]
+        return out
 
     S, R = len(sample_pcs), len(ref_pcs)
     out = np.zeros((S, R), np.float32)

@@ -14,10 +14,12 @@ simpler and faster than a flash-style streaming kernel at these shapes.
 
 Three forward variants, length-routed by the caller (``nn/transformer.py``):
 the packed resident kernel (consumes the fused [B,S,3W] QKV projection
-directly, full-S K/V in VMEM, best below ~2.7k tokens), the per-head
-kernel (HBM head transposes but simple [bq,S] logit rows, best at ABC
-scale ~3-8k), and a K-chunked online-softmax streaming kernel for longer
-sequences. Training uses a custom VJP with a Pallas flash-style backward
+directly, full-S K/V column-blocks in VMEM — wins through ABC scale,
+13.2 ms/layer at S=4096 vs the per-head kernel's 21, round-3 sweep in
+BASELINE.md), the per-head kernel (HBM head transposes but simple
+[bq,S] logit rows; routed between the residency threshold, default 8 MB
+of K/V, and 8k tokens), and a K-chunked online-softmax streaming kernel
+(bk=2048) beyond 8k. Training uses a custom VJP with a Pallas flash-style backward
 in the packed layout (``_packed_bwd``); only the never-trained streaming
 lengths fall back to recompute-through-XLA gradients.
 """

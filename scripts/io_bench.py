@@ -31,20 +31,27 @@ from brepgen_tpu.train.vae_train import make_encoder_fn
 NF, NE = 30, 20  # deepcad training shapes (train_ldm.sh:5-6)
 
 
-def host_rate(option, batch_size, workers, n_batches=8):
+def host_rate(option, batch_size, workers, n_batches=8, batched=False):
     from functools import partial
+
+    from brepgen_tpu.data import batch_assembly as BA
 
     ds = make_dataset(max(batch_size, 256), seed=0)
     if option == "surfpos":
         asm = partial(assemble_surfpos, max_face=NF, bbox_scaled=3.0, aug=True)
+        basm = partial(BA.assemble_surfpos_batched, max_face=NF,
+                       bbox_scaled=3.0, aug=True)
     else:
         asm = partial(
             assemble_edgez, max_face=NF, max_edge=NE, bbox_scaled=3.0, aug=True
         )
+        basm = partial(BA.assemble_edgez_batched, max_face=NF, max_edge=NE,
+                       bbox_scaled=3.0, aug=True)
     # clamp_to_cpus=False: measure the pool even on a 1-core host (the
     # production Batcher clamps it away there, and this bench documents why)
     b = Batcher(ds, asm, batch_size, num_workers=workers, drop_last=False,
-                clamp_to_cpus=False)
+                clamp_to_cpus=False,
+                batch_assemble_fn=basm if batched else None)
     it = iter(b)
     next(it)  # warm (includes process-pool spawn cost)
     t0 = time.perf_counter()
@@ -113,10 +120,12 @@ def main():
         for workers in (0, 8):
             r = host_rate(option, bs, workers)
             report[f"host_{option}_bs{bs}_w{workers}_batches_per_s"] = round(r, 2)
+        r = host_rate(option, bs, 0, batched=True)
+        report[f"host_{option}_bs{bs}_batched_batches_per_s"] = round(r, 2)
         print(json.dumps(report), flush=True)
         r = device_rate(option, bs)
         report[f"device_{option}_bs{bs}_steps_per_s"] = round(r, 2)
-        host = report[f"host_{option}_bs{bs}_w8_batches_per_s"]
+        host = report[f"host_{option}_bs{bs}_batched_batches_per_s"]
         report[f"{option}_host_over_device"] = round(host / r, 2)
         print(json.dumps(report), flush=True)
 

@@ -183,3 +183,76 @@ def test_prefetch_to_device(cuboid):
     assert len(out) == 5
     assert isinstance(out[0]["x"], jax.Array)
     np.testing.assert_array_equal(np.asarray(out[3]["x"]), batches[3]["x"])
+
+
+# ---------------------------------------------------------------------------
+# vectorized whole-batch assembly (batch_assembly.py) vs per-sample golden
+
+
+@pytest.mark.parametrize("aug", [False, True])
+@pytest.mark.parametrize("stage", ["surfpos", "surfz", "edgepos", "edgez"])
+def test_batched_assembly_matches_per_sample(stage, aug):
+    """The vectorized batch path must reproduce the per-sample reference
+    path for every (sample, seed): identical RNG draws, f32-round-off
+    outputs, exact masks."""
+    import functools
+
+    from brepgen_tpu.data import batch_assembly as BA
+    from brepgen_tpu.data import assembly as A
+
+    samples = make_dataset(13, seed=3)
+    seeds = np.random.default_rng(5).integers(0, 2**63 - 1, size=len(samples))
+    kw = dict(max_face=12, bbox_scaled=3.0, aug=aug)
+    ekw = dict(kw, max_edge=8)
+    per_sample = {
+        "surfpos": functools.partial(A.assemble_surfpos, **kw),
+        "surfz": functools.partial(A.assemble_surfz, **kw),
+        "edgepos": functools.partial(A.assemble_edgepos, **ekw),
+        "edgez": functools.partial(A.assemble_edgez, **ekw),
+    }[stage]
+    batched = {
+        "surfpos": functools.partial(BA.assemble_surfpos_batched, **kw),
+        "surfz": functools.partial(BA.assemble_surfz_batched, **kw),
+        "edgepos": functools.partial(BA.assemble_edgepos_batched, **ekw),
+        "edgez": functools.partial(BA.assemble_edgez_batched, **ekw),
+    }[stage]
+
+    want_items = []
+    for s, seed in zip(samples, seeds):
+        out = per_sample(s, np.random.default_rng(seed))
+        want_items.append(out if isinstance(out, tuple) else (out,))
+    want = tuple(np.stack([it[k] for it in want_items])
+                 for k in range(len(want_items[0])))
+    got = batched(samples, seeds)
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape and g.dtype == w.dtype
+        if g.dtype == bool:
+            np.testing.assert_array_equal(g, w)
+        else:
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_batcher_batched_assembly_matches_per_sample():
+    """Batcher with batch_assemble_fn yields the same epochs as the
+    per-sample path (same seeds per item), including class labels."""
+    import functools
+
+    from brepgen_tpu.data import batch_assembly as BA
+
+    samples = make_dataset(10, seed=1)
+    labels = list(range(len(samples)))
+    asm = functools.partial(assemble_surfz, max_face=12, aug=True)
+    basm = functools.partial(BA.assemble_surfz_batched, max_face=12, aug=True)
+    ref = list(Batcher(samples, asm, batch_size=4, seed=0, class_labels=labels))
+    got = list(Batcher(samples, asm, batch_size=4, seed=0, class_labels=labels,
+                       batch_assemble_fn=basm))
+    assert len(got) == len(ref)
+    for rb, gb in zip(ref, got):
+        assert len(gb) == len(rb)
+        for x, y in zip(rb, gb):
+            if x.dtype == bool or x.dtype == np.int32:
+                np.testing.assert_array_equal(y, x)
+            else:
+                np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-6)

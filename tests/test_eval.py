@@ -25,6 +25,47 @@ def test_pairwise_chamfer_golden():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_pairwise_chamfer_pallas_row_slicing(monkeypatch):
+    """The pallas branch dispatches bounded row-slices (remote backends
+    kill >60 s executions); the sliced+padded assembly must reproduce the
+    whole matrix exactly. The device kernel is stubbed with the brute
+    reference so this runs host-only."""
+    from brepgen_tpu.eval import metrics as M
+    from brepgen_tpu.kernels import chamfer as CK
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(11, 20, 3)).astype(np.float32)  # 11 rows: ragged
+    B = rng.normal(size=(4, 20, 3)).astype(np.float32)
+    want = np.array([[brute_chamfer(a, b) for b in B] for a in A])
+
+    calls = []
+
+    def fake_matrix(sp, rp, **kw):
+        calls.append(len(sp))
+        return np.array([[brute_chamfer(a, b) for b in np.asarray(rp)]
+                         for a in np.asarray(sp)], np.float32)
+
+    monkeypatch.setattr(CK, "chamfer_matrix", fake_matrix)
+    monkeypatch.setenv("BREPGEN_CHAMFER_IMPL", "pallas")
+    monkeypatch.setenv("BREPGEN_CHAMFER_SLICE", "4")
+    got = M.pairwise_chamfer(A, B, backend="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert calls == [4, 4, 4]  # 11 rows -> 3 padded slices of 4
+
+
+def test_chamfer_matrix_scan_matches_brute():
+    """The chunked-scan XLA tile (the TPU protocol path) vs brute force,
+    with ragged tiles and padded points."""
+    from brepgen_tpu.kernels.chamfer import chamfer_matrix_scan
+
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(5, 40, 3)).astype(np.float32)
+    B = rng.normal(size=(7, 40, 3)).astype(np.float32)
+    want = np.array([[brute_chamfer(a, b) for b in B] for a in A])
+    got = chamfer_matrix_scan(A, B, tile_s=4, tile_r=4, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
 def test_chamfer_identity_zero():
     rng = np.random.default_rng(1)
     A = rng.normal(size=(2, 64, 3))
