@@ -39,6 +39,21 @@ def build_denoiser(option: str, use_cf: bool = False, dtype=jnp.float32, **kw):
     return DENOISER_FACTORIES[option](use_cf=use_cf, dtype=dtype, **kw)
 
 
+def auto_remat(option: str, batch_size: int, max_face: int, max_edge: int) -> bool:
+    """Layer remat policy for production training (the bf16-era GradScaler's
+    TPU-native sibling is trading FLOPs for HBM, not loss scaling).
+
+    Saved activations for the production encoder are ~B*S*768*2 bytes x
+    ~150 tensors (12 layers x ~12 intermediates); past B*S ~= 32k that
+    tops 7.5 GB and the edge stages (S = max_face*max_edge: deepcad 600,
+    ABC 1500 — reference train_ldm.sh) blow the 16 GB v5e HBM at their
+    reference batch sizes (edgez@128 measured 22.8 GB unremat'd,
+    BASELINE.md). Per-layer remat keeps only layer boundaries live.
+    """
+    tokens = max_face * max_edge if option in ("edgepos", "edgez") else max_face
+    return batch_size * tokens >= 32768
+
+
 def uid_to_path(data_dir: str, uid: str) -> str:
     """DeepCAD/ABC pkls are sharded into 10k-id folders; furniture is flat
     (reference dataset.py:94-100)."""

@@ -10,7 +10,12 @@ import pickle
 import jax
 import jax.numpy as jnp
 
-from brepgen_tpu.cli.build import build_denoiser, build_vae, resolve_samples
+from brepgen_tpu.cli.build import (
+    auto_remat,
+    build_denoiser,
+    build_vae,
+    resolve_samples,
+)
 from brepgen_tpu.nn import EdgeVAE, SurfVAE
 from brepgen_tpu.data.assembly import (
     assemble_edgepos,
@@ -62,6 +67,11 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--remat", choices=("auto", "on", "off"), default="auto",
+                   help="per-layer activation rematerialization; auto turns "
+                        "it on when B x tokens would overflow HBM with "
+                        "saved activations (the edge stages at reference "
+                        "batch sizes)")
     p.add_argument("--assembly", choices=("batched", "per_sample"),
                    default="batched",
                    help="host batch assembly: one vectorized call per batch "
@@ -196,7 +206,10 @@ def main(argv=None):
 
     small_kw = (dict(width=32, num_heads=2, ffn_width=64, num_layers=1)
                 if args.small else {})
-    model = build_denoiser(args.option, use_cf=args.cf, dtype=dtype, **small_kw)
+    remat = (args.remat == "on" or (args.remat == "auto" and auto_remat(
+        args.option, args.batch_size, args.max_face, args.max_edge)))
+    model = build_denoiser(args.option, use_cf=args.cf, dtype=dtype,
+                           remat=remat, **small_kw)
     tables = make_ddpm_tables()
     opt = make_ldm_optimizer()
 

@@ -26,14 +26,17 @@ Semantics cross-checked against a sequential transliteration in
 158 of the 209 scheduler calls (``sample.py:129``) and hands off to DDPM at
 t=249; ``max_calls`` reproduces that.
 
-ORACLE CAVEAT: the sequential oracle was re-derived from the PNDM paper +
-diffusers' documented behavior by the same author as this plan compiler —
-diffusers itself is not installed here and the released checkpoints are
-unreachable (zero egress), so a shared misreading of diffusers' PNDM
-(warm-up indexing, ``set_alpha_to_one``, the 158-call truncation hand-off)
-would pass both sides. When diffusers 0.27 source or real checkpoints
-become available, replace the oracle with a transliteration of
-``PNDMScheduler.step`` itself and run the converter round-trip as the
+ORACLE CAVEAT (narrowed in round 3): the original sequential oracle was
+re-derived from the PNDM paper by the same author as this plan compiler.
+``tests/test_pndm.py`` now ALSO pins the scan against ``DiffusersPNDM``,
+a transliteration of diffusers' published ``scheduling_pndm.py`` control
+flow (counter-modulo PRK dispatch, f32-linspace betas, ``counter == 1``
+PLMS branch, ``_get_prev_sample`` denominator form) written from that
+source's structure, and the two oracles agree to the betas' f32
+precision. Residual risk: the transliteration was produced from memory
+of the public source, not by diffing an installed diffusers (not present
+here; zero egress). When diffusers or real checkpoints become available,
+run the converter round-trip against ``PNDMScheduler`` itself as the
 decisive check.
 """
 

@@ -72,7 +72,14 @@ def device_rate(option, batch_size, n_steps=20):
     key = jax.random.PRNGKey(0)
     tables = make_ddpm_tables()
     opt = make_ldm_optimizer()
-    model = build_denoiser(option, dtype=dtype)
+    from brepgen_tpu.cli.build import auto_remat
+
+    # same policy as ldm.py --remat auto: edgez@128 saves 22.8 GB of
+    # activations unremat'd and OOMs the 16 GB v5e (BASELINE.md)
+    model = build_denoiser(
+        option, dtype=dtype,
+        remat=auto_remat(option, batch_size, NF, NE),
+    )
 
     if option == "surfpos":
         batch = {"surfpos": jnp.asarray(np.random.randn(batch_size, NF, 6), jnp.float32)}

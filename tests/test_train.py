@@ -179,3 +179,40 @@ def test_run_training_loop(tmp_path):
     assert os.path.isdir(tmp_path / "epoch_2")
     assert os.path.isdir(tmp_path / "latest")
     assert os.path.exists(tmp_path / "t.jsonl")
+
+
+def test_remat_preserves_params_and_step():
+    """remat=True must keep the param-tree names (checkpoint/converter
+    contract) and the exact step outputs — it only changes what XLA saves
+    for the backward (VERDICT r2 follow-on: edgez@bs128 OOMs unremat'd)."""
+    from brepgen_tpu.cli.build import auto_remat
+
+    # auto policy: edge stages at reference batch sizes remat, surf don't
+    assert auto_remat("edgez", 128, 30, 20)
+    assert auto_remat("edgepos", 64, 50, 30)
+    assert not auto_remat("surfpos", 512, 30, 20)
+    assert not auto_remat("surfz", 256, 50, 30)
+
+    ds = make_dataset(8, seed=0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "surfpos": jnp.asarray(
+            np.stack([assemble_surfpos(d, rng, max_face=12) for d in ds])
+        )
+    }
+    opt = make_ldm_optimizer(lr=1e-3)
+    tables = make_ddpm_tables()
+    outs = []
+    for remat in (False, True):
+        model = make_surfpos_net(remat=remat, **SMALL)
+        params = model.init(KEY, (batch["surfpos"],), jnp.zeros((8,), jnp.int32))
+        state = init_state(params, opt)
+        step = ldm_train.make_surfpos_step(model, opt, tables)
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        outs.append((params, state.params, float(m["loss"])))
+    (p0, s0, l0), (p1, s1, l1) = outs
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    assert l0 == l1
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
