@@ -1,0 +1,87 @@
+"""Quality-metric protocol for synthetic demo runs (reproducible).
+
+Turns a `train_synthetic_demo.py` output directory into the BASELINE.md
+quality row: 2000-pt clouds from the run's exported STLs vs held-out
+same-family solids (generated with a seed disjoint from the training
+dataset's seed 0), through the corrected per-point-JSD / MMD / COV
+protocol (reference ``pc_metric.py:98-192,287-351``; oracles in
+``tests/test_eval.py``). Runs on CPU so it can score a finished run
+while the chip trains the next one.
+
+Usage:
+  python scripts/demo_metrics.py --run artifacts/demo_round3/all160k --family all
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+P = argparse.ArgumentParser()
+P.add_argument("--run", required=True, help="train_synthetic_demo.py --out dir")
+P.add_argument("--family", default="all", choices=["all", "cuboid"])
+P.add_argument("--heldout", type=int, default=64)
+P.add_argument("--heldout_seed", type=int, default=777,
+               help="disjoint from the demo trainer's dataset seed 0")
+P.add_argument("--times", type=int, default=3)
+args = P.parse_args()
+
+from brepgen_tpu.eval.pipeline import N_POINTS, run_metrics, sample_points_dir
+from brepgen_tpu.geometry.ply import write_ply
+from brepgen_tpu.geometry.sampling import sample_surface
+
+
+def grid_triangles(grid: np.ndarray) -> np.ndarray:
+    """[32, 32, 3] UV grid -> [2*31*31, 3, 3] triangles."""
+    p00 = grid[:-1, :-1]
+    p01 = grid[:-1, 1:]
+    p10 = grid[1:, :-1]
+    p11 = grid[1:, 1:]
+    t1 = np.stack([p00, p10, p11], axis=2)
+    t2 = np.stack([p00, p11, p01], axis=2)
+    return np.concatenate([t1, t2], axis=2).reshape(-1, 3, 3)
+
+
+def heldout_clouds(out_dir: str) -> int:
+    os.makedirs(out_dir, exist_ok=True)
+    if args.family == "cuboid":
+        from brepgen_tpu.data.synthetic import make_cuboid
+
+        rng0 = np.random.default_rng(args.heldout_seed)
+        ds = [make_cuboid(*rng0.uniform(0.4, 2.0, 3), uid=f"h{i}")
+              for i in range(args.heldout)]
+    else:
+        from brepgen_tpu.data.synthetic import make_dataset
+
+        ds = make_dataset(args.heldout, seed=args.heldout_seed)
+    rng = np.random.default_rng(args.heldout_seed + 1)
+    for i, d in enumerate(ds):
+        tris = np.concatenate([grid_triangles(g) for g in d["surf_wcs"]])
+        pts = sample_surface(tris, N_POINTS, rng)
+        write_ply(os.path.join(out_dir, f"heldout_{i}.ply"), pts)
+    return len(ds)
+
+
+fake_ply = os.path.join(args.run, "fake_ply")
+real_ply = os.path.join(args.run, "heldout_ply")
+n_fake = sample_points_dir(os.path.join(args.run, "samples"), fake_ply)
+n_real = heldout_clouds(real_ply)
+print(f"clouds: {n_fake} fake vs {n_real} held-out", flush=True)
+if n_fake == 0:
+    print(json.dumps({"error": "no valid samples to score"}))
+    sys.exit(1)
+avg = run_metrics(
+    fake_ply, real_ply, n_test=n_real, multi=1, times=args.times, seed=0,
+    output=os.path.join(args.run, "metrics_results.txt"),
+)
+avg["n_fake_clouds"] = n_fake
+avg["n_heldout"] = n_real
+print(json.dumps(avg))
