@@ -53,6 +53,11 @@ P.add_argument("--max_face", type=int, default=10)
 P.add_argument("--max_edge", type=int, default=8)
 P.add_argument("--sample_batches", type=int, default=4)
 P.add_argument("--family", type=str, default="all", choices=["all", "cuboid"])
+P.add_argument("--cf", action="store_true",
+               help="classifier-free conditioning demo (furniture-mode "
+                    "parity): solid kinds cuboid/prism/cylinder are the "
+                    "classes; trains with 10%% label dropout and samples "
+                    "each class with CFG w=0.6")
 P.add_argument("--snapshots", type=float, nargs="*", default=[],
                help="fractions of each denoiser budget to checkpoint "
                     "(validity-vs-budget curve; resample via resample_demo.py)")
@@ -67,7 +72,14 @@ key = jax.random.PRNGKey(0)
 t_start = time.time()
 
 print("== generating synthetic dataset ==", flush=True)
-if args.family == "cuboid":
+CLASS_NAMES = ("cuboid", "prism", "cylinder")  # class ids 0..2; stored +1
+if args.cf:
+    # kind-prefixed uids carry the class (random_solid's own naming)
+    from brepgen_tpu.data.synthetic import random_solid
+
+    rng0 = np.random.default_rng(0)
+    ds = [random_solid(rng0) for _ in range(args.solids)]
+elif args.family == "cuboid":
     from brepgen_tpu.data.synthetic import make_cuboid
 
     rng0 = np.random.default_rng(0)
@@ -75,6 +87,16 @@ if args.family == "cuboid":
 else:
     ds = make_dataset(args.solids, seed=0)
 ds = [d for d in ds if filter_sample(d, NF, NE, 3.0, 0.05)]
+class_ids = None
+if args.cf:
+    def _kind(uid):
+        return 0 if uid.startswith("cuboid") else (1 if uid.startswith("prism") else 2)
+
+    class_ids = np.asarray([_kind(d["uid"]) for d in ds], np.int32)
+    summary["class_counts"] = {
+        CLASS_NAMES[k]: int((class_ids == k).sum()) for k in range(3)
+    }
+    print("class counts:", summary["class_counts"], flush=True)
 print(f"{len(ds)} solids after filtering")
 summary["n_solids"] = len(ds)
 
@@ -116,27 +138,31 @@ tables = make_ddpm_tables()
 
 def make_batch(stage, bs):
     idx = rng.integers(0, len(ds), bs)
+    label = (
+        {"class_label": jnp.asarray(class_ids[idx] + 1)[:, None]}
+        if args.cf else {}
+    )
     if stage == "surfpos":
         return {"surfpos": jnp.asarray(np.stack([
-            assemble_surfpos(ds[i], rng, NF) for i in idx]))}
+            assemble_surfpos(ds[i], rng, NF) for i in idx])), **label}
     if stage == "surfz":
         items = [assemble_surfz(ds[i], rng, NF) for i in idx]
         return {"surfpos": jnp.asarray(np.stack([x[0] for x in items])),
                 "surfpnt": jnp.asarray(np.stack([x[1] for x in items])),
-                "surf_mask": jnp.asarray(np.stack([x[2] for x in items]))}
+                "surf_mask": jnp.asarray(np.stack([x[2] for x in items])), **label}
     if stage == "edgepos":
         items = [assemble_edgepos(ds[i], rng, NF, NE) for i in idx]
         return {"edgepos": jnp.asarray(np.stack([x[0] for x in items])),
                 "surfpnt": jnp.asarray(np.stack([x[1] for x in items])),
                 "surfpos": jnp.asarray(np.stack([x[2] for x in items])),
-                "surf_mask": jnp.asarray(np.stack([x[3] for x in items]))}
+                "surf_mask": jnp.asarray(np.stack([x[3] for x in items])), **label}
     items = [assemble_edgez(ds[i], rng, NF, NE) for i in idx]
     return {"edgepnt": jnp.asarray(np.stack([x[0] for x in items])),
             "edgepos": jnp.asarray(np.stack([x[1] for x in items])),
             "edge_mask": jnp.asarray(np.stack([x[2] for x in items])),
             "surfpnt": jnp.asarray(np.stack([x[3] for x in items])),
             "surfpos": jnp.asarray(np.stack([x[4] for x in items])),
-            "vertpos": jnp.asarray(np.stack([x[5] for x in items]))}
+            "vertpos": jnp.asarray(np.stack([x[5] for x in items])), **label}
 
 
 def make_pool(stage, n_batches):
@@ -155,7 +181,9 @@ def train_stage(stage, net, step_fn, steps):
         "edgepos": [(2, S, 6), (2, S, 6), (2, S, 48)],
         "edgez": [(2, S, 12), (2, S, 6), (2, S, 6), (2, S, 6), (2, S, 48)],
     }[stage]
-    params = net.init(key, tuple(jnp.zeros(s) for s in shapes), jnp.zeros((2,), jnp.int32))
+    init_label = jnp.ones((2, 1), jnp.int32) if args.cf else None
+    params = net.init(key, tuple(jnp.zeros(s) for s in shapes),
+                      jnp.zeros((2,), jnp.int32), None, init_label)
     opt = make_ldm_optimizer()
     state = init_state(params, opt)
     pool = make_pool(stage, args.pool)
@@ -175,6 +203,8 @@ def train_stage(stage, net, step_fn, steps):
     return state.params
 
 
+if args.cf:
+    ARCH = dict(ARCH, use_cf=True, num_classes=4)  # 3 kinds + uncond 0
 nets = {
     "surfpos": make_surfpos_net(**ARCH),
     "surfz": make_surfz_net(**ARCH),
@@ -187,19 +217,23 @@ snapshots = {}  # frac -> {stage: params} (fractional-budget checkpoints)
 print("== training denoisers ==", flush=True)
 net_params["surfpos"] = train_stage(
     "surfpos", nets["surfpos"],
-    ldm_train.make_surfpos_step(nets["surfpos"], opt, tables), args.surfpos_steps)
+    ldm_train.make_surfpos_step(nets["surfpos"], opt, tables, use_cf=args.cf),
+    args.surfpos_steps)
 net_params["surfz"] = train_stage(
     "surfz", nets["surfz"],
-    ldm_train.make_surfz_step(nets["surfz"], opt, tables, surf_enc, surf_vae_params),
+    ldm_train.make_surfz_step(nets["surfz"], opt, tables, surf_enc, surf_vae_params,
+                              use_cf=args.cf),
     args.pos_steps)
 net_params["edgepos"] = train_stage(
     "edgepos", nets["edgepos"],
-    ldm_train.make_edgepos_step(nets["edgepos"], opt, tables, surf_enc, surf_vae_params),
+    ldm_train.make_edgepos_step(nets["edgepos"], opt, tables, surf_enc, surf_vae_params,
+                                use_cf=args.cf),
     args.edge_steps)
 net_params["edgez"] = train_stage(
     "edgez", nets["edgez"],
     ldm_train.make_edgez_step(
-        nets["edgez"], opt, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params),
+        nets["edgez"], opt, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params,
+        use_cf=args.cf),
     args.edge_steps)
 
 from brepgen_tpu.train.checkpoint import save_params
@@ -222,48 +256,82 @@ for frac, stages in snapshots.items():
 print("checkpoints saved to", ckpt_dir, flush=True)
 
 print("== sampling ==", flush=True)
-cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE)
-cascade = build_cascade(
-    nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
-    make_decoder_fn(edge_vae), edge_vae_params, cfg,
-)
-
 from brepgen_tpu.cli.sample_main import make_padded_decoder, process_one
 
 surf_dec = make_padded_decoder(make_decoder_fn(surf_vae), surf_vae_params, (4, 4, 3))
 edge_dec = make_padded_decoder(make_decoder_fn(edge_vae), edge_vae_params, (4, 3))
 
-save_dir = os.path.join(args.out, "samples")
-os.makedirs(save_dir, exist_ok=True)
 produced, attempted = 0, 0
 failures = {}
 error_samples = []
-dedup_counts = []
-for bi in range(args.sample_batches):
-    out = cascade(jax.random.PRNGKey(5000 + bi))
-    sample_np = {k: np.asarray(v) for k, v in out.items()}
-    dedup_counts += list((~sample_np["surf_mask"]).sum(1))
-    if bi == 0:
-        from brepgen_tpu.sampling.dedup import dedup_bboxes
 
-        loose = np.asarray(dedup_bboxes(
-            jnp.asarray(sample_np["surf_pos"] * 3.0), 0.3))
-        summary["valid_face_counts_loose_thr"] = [int(c) for c in loose.sum(1)]
-    if bi == 0:
-        from brepgen_tpu.utils.viz import plot_sample
 
-        for b in range(min(4, cfg.batch_size)):
-            plot_sample(sample_np, b, os.path.join(args.out, f"gen_bbox_{b}.png"))
-    for b in range(cfg.batch_size):
-        attempted += 1
-        name, err = process_one(sample_np, b, surf_dec, edge_dec, cfg.z_threshold, save_dir)
-        if name is not None:
-            produced += 1
-        else:
-            k_ = err.split(":")[0]
-            failures[k_] = failures.get(k_, 0) + 1
-            if len(error_samples) < 8:
-                error_samples.append(err[:200])
+def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
+    """One cascade build + n_batches of generation + postprocess; returns
+    (attempted, produced, per-sample dedup'd face counts)."""
+    global produced, attempted
+    cascade = build_cascade(
+        nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
+        make_decoder_fn(edge_vae), edge_vae_params, cfg,
+    )
+    os.makedirs(save_dir, exist_ok=True)
+    counts, run_prod = [], 0
+    for bi in range(n_batches):
+        out = cascade(jax.random.PRNGKey(key_base + bi))
+        sample_np = {k: np.asarray(v) for k, v in out.items()}
+        counts += list((~sample_np["surf_mask"]).sum(1))
+        if bi == 0 and plots:
+            from brepgen_tpu.sampling.dedup import dedup_bboxes
+
+            loose = np.asarray(dedup_bboxes(
+                jnp.asarray(sample_np["surf_pos"] * 3.0), 0.3))
+            summary["valid_face_counts_loose_thr"] = [int(c) for c in loose.sum(1)]
+            from brepgen_tpu.utils.viz import plot_sample
+
+            for b in range(min(4, cfg.batch_size)):
+                plot_sample(sample_np, b, os.path.join(args.out, f"gen_bbox{tag}_{b}.png"))
+        for b in range(cfg.batch_size):
+            attempted += 1
+            name, err = process_one(
+                sample_np, b, surf_dec, edge_dec, cfg.z_threshold, save_dir)
+            if name is not None:
+                produced += 1
+                run_prod += 1
+            else:
+                k_ = err.split(":")[0]
+                failures[k_] = failures.get(k_, 0) + 1
+                if len(error_samples) < 8:
+                    error_samples.append(err[:200])
+    return run_prod, counts
+
+
+if args.cf:
+    # CFG conditioning demo: one cascade per class (class_label is a
+    # compile-time constant per stage program), per-class validity and
+    # dedup'd-face-count histograms as conditioning-fidelity evidence
+    # (cuboids -> 6 faces, prisms -> 5..9, cylinders -> 4)
+    per_class = {}
+    for cls_id, cls in enumerate(CLASS_NAMES, start=1):
+        cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE,
+                            use_cf=True, class_label=cls_id)
+        run_prod, counts = sample_run(
+            cfg, os.path.join(args.out, "samples", cls),
+            args.sample_batches, 5000 + 100 * cls_id, f"_{cls}",
+            plots=(cls_id == 1))
+        per_class[cls] = {
+            "attempted": 16 * args.sample_batches,
+            "valid_breps": run_prod,
+            "face_counts": [int(c) for c in counts[:32]],
+        }
+        print(f"[{cls}] {run_prod}/{16 * args.sample_batches} valid, "
+              f"face counts {per_class[cls]['face_counts'][:16]}", flush=True)
+    summary["per_class"] = per_class
+    dedup_counts = [c for v in per_class.values() for c in v["face_counts"]]
+else:
+    cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE)
+    _, dedup_counts = sample_run(
+        cfg, os.path.join(args.out, "samples"), args.sample_batches, 5000,
+        "", plots=True)
 summary["valid_face_counts"] = [int(c) for c in dedup_counts[:32]]
 summary["error_samples"] = error_samples
 
