@@ -9,6 +9,7 @@ import pickle
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from brepgen_tpu.cli.build import (
     auto_remat,
@@ -67,6 +68,11 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--small", action="store_true", help="tiny debug architecture")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--cache_latents", action="store_true",
+                   help="precompute frozen-VAE latents in a host content "
+                        "cache instead of encoding in-step (SURVEY hard "
+                        "part 4); requires --data_aug off since rotation "
+                        "changes the grids every epoch")
     p.add_argument("--remat", choices=("auto", "on", "off"), default="auto",
                    help="per-layer activation rematerialization; auto turns "
                         "it on when B x tokens would overflow HBM with "
@@ -190,9 +196,20 @@ def load_filtered_samples(args, split):
     return kept, (kept_labels if labels is not None else None)
 
 
-def to_batch(args, raw):
+def to_batch(args, raw, surf_cache=None, edge_cache=None):
     keys = BATCH_KEYS[args.option]
-    batch = {k: jnp.asarray(v) for k, v in zip(keys, raw)}
+    batch = {}
+    for k, v in zip(keys, raw):
+        if k == "surfpnt" and surf_cache is not None:
+            B, nf = v.shape[:2]
+            z = surf_cache(np.asarray(v).reshape(B * nf, 32, 32, 3))
+            batch["surfz"] = jnp.asarray(z.reshape(B, nf, 48))
+        elif k == "edgepnt" and edge_cache is not None:
+            B, nf, ne = v.shape[:3]
+            z = edge_cache(np.asarray(v).reshape(B * nf * ne, 32, 3))
+            batch["edgez"] = jnp.asarray(z.reshape(B, nf, ne, 12))
+        else:
+            batch[k] = jnp.asarray(v)
     if len(raw) > len(keys):  # trailing class labels
         batch["class_label"] = jnp.asarray(raw[len(keys)])
     return batch
@@ -276,6 +293,25 @@ def main(argv=None):
         args.option, model, tables, surf_enc, surf_vae_params, edge_enc, edge_vae_params, args.cf
     )
 
+    # precomputed-latent path (SURVEY hard part 4): host content cache of
+    # the deterministic frozen-VAE encodes; only sound with aug off
+    surf_cache = edge_cache = None
+    if args.cache_latents and args.option in ("surfz", "edgepos", "edgez"):
+        if args.data_aug:
+            raise SystemExit(
+                "--cache_latents requires --data_aug off: rotation aug "
+                "changes surf_ncs/edge_ncs every epoch (dataset.py:322,499)"
+            )
+        from brepgen_tpu.data.latent_cache import LatentCache
+
+        bucket = min(1024, args.batch_size * args.max_face)
+        surf_cache = LatentCache(surf_enc, surf_vae_params, (32, 32, 3), 48,
+                                 bucket=bucket)
+        if args.option == "edgez":
+            edge_cache = LatentCache(edge_enc, edge_vae_params, (32, 3), 12,
+                                     bucket=bucket)
+        print("latent cache enabled (frozen-VAE encodes hoisted off the step)")
+
     train_samples, train_labels = load_filtered_samples(args, "train")
     val_samples, val_labels = load_filtered_samples(args, "val")
     assemble = make_assemble_fn(args)
@@ -317,7 +353,7 @@ def main(argv=None):
         # k+1..k+2 overlap the device compute of batch k (the reference
         # gets this from DataLoader worker processes, trainer.py:54,314)
         stream = prefetch_to_device(
-            (to_batch(args, raw) for raw in batcher),
+            (to_batch(args, raw, surf_cache, edge_cache) for raw in batcher),
             lookahead=2,
             sharding=_batch_sharding if mesh is not None else None,
             background=True,
@@ -334,7 +370,7 @@ def main(argv=None):
             for t_fixed in val_steps:
                 total, count = 0.0, 0.0
                 for raw in val_batcher:
-                    batch = to_batch(args, raw)
+                    batch = to_batch(args, raw, surf_cache, edge_cache)
                     jrng, sub = jax.random.split(jrng)
                     s, c = val_fn(state.params, batch, sub, t_fixed)
                     total += float(s)

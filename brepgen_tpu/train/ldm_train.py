@@ -14,6 +14,13 @@ Batch convention: dict of numpy/jax arrays with keys (per stage)
   surfpos [B,nf,6], surfpnt [B,nf,32,32,3], surf_mask [B,nf],
   edgepos [B,nf,ne,6], edgepnt [B,nf,ne,32,3], edge_mask [B,nf,ne],
   vertpos [B,nf,ne,6], class_label [B,1] (optional).
+
+Precomputed-latent path (SURVEY hard part 4; ``data/latent_cache.py``):
+when the batch carries "surfz" [B,nf,48] / "edgez" [B,nf,ne,12] instead
+of surfpnt/edgepnt, the in-step frozen-VAE encode is skipped (the branch
+is resolved at trace time from the dict keys). Only valid with rotation
+augmentation off — the encoders are deterministic but their inputs are
+not under aug.
 """
 
 from __future__ import annotations
@@ -103,7 +110,8 @@ def make_surfz_step(
         mask = batch["surf_mask"]
         B = surfpos.shape[0]
 
-        surfz = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
+        surfz = (batch["surfz"] if "surfz" in batch else
+                 _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
         surfpos = _augment_condition(tables, r["aug"], surfpos)
 
         t = jax.random.randint(r["t"], (B,), 0, tables.num_train_timesteps)
@@ -134,7 +142,8 @@ def make_edgepos_step(
         mask = batch["surf_mask"]   # [B, nf]
         B, nf, ne, _ = edgepos.shape
 
-        surfz = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
+        surfz = (batch["surfz"] if "surfz" in batch else
+                 _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
         k1, k2 = jax.random.split(r["aug"])
         surfpos = _augment_condition(tables, k1, surfpos)
         surfz = _augment_condition(tables, k2, surfz)
@@ -188,8 +197,10 @@ def make_edgez_step(
         vertpos = batch["vertpos"]
         B, nf, ne, _ = edgepos.shape
 
-        surfz = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
-        edgez = _encode_edge(edge_encode, edge_vae_params, batch["edgepnt"])
+        surfz = (batch["surfz"] if "surfz" in batch else
+                 _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
+        edgez = (batch["edgez"] if "edgez" in batch else
+                 _encode_edge(edge_encode, edge_vae_params, batch["edgepnt"]))
         joint = jnp.concatenate([edgez, vertpos], -1)  # [B, nf, ne, 18]
 
         k1, k2, k3 = jax.random.split(r["aug"], 3)
@@ -259,7 +270,8 @@ def make_val_step(stage: str, model, tables, surf_encode=None, surf_vae_params=N
             per_sample = jnp.mean(jnp.square(pred - noise), axis=(1, 2))
             return jnp.sum(per_sample), jnp.asarray(B, jnp.float32)
         if stage == "surfz":
-            x = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
+            x = (batch["surfz"] if "surfz" in batch else
+                 _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
             mask = batch["surf_mask"]
             B = x.shape[0]
             t = jnp.full((B,), t_fixed, jnp.int32)
@@ -270,7 +282,8 @@ def make_val_step(stage: str, model, tables, surf_encode=None, surf_vae_params=N
             w = (~mask).astype(jnp.float32)
             return jnp.sum(tok_mse * w), jnp.asarray(B, jnp.float32)
         if stage == "edgepos":
-            surfz = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
+            surfz = (batch["surfz"] if "surfz" in batch else
+                     _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
             x = batch["edgepos"]
             mask = batch["surf_mask"]
             B, nf, ne, _ = x.shape
@@ -292,8 +305,10 @@ def make_val_step(stage: str, model, tables, surf_encode=None, surf_vae_params=N
             w = jnp.broadcast_to((~mask)[:, :, None], (B, nf, ne)).astype(jnp.float32)
             return jnp.sum(tok_mse * w), jnp.asarray(B, jnp.float32)
         if stage == "edgez":
-            surfz = _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"])
-            edgez = _encode_edge(edge_encode, edge_vae_params, batch["edgepnt"])
+            surfz = (batch["surfz"] if "surfz" in batch else
+                     _encode_surf(surf_encode, surf_vae_params, batch["surfpnt"]))
+            edgez = (batch["edgez"] if "edgez" in batch else
+                     _encode_edge(edge_encode, edge_vae_params, batch["edgepnt"]))
             joint = jnp.concatenate([edgez, batch["vertpos"]], -1)
             edge_mask = batch["edge_mask"]
             B, nf, ne, _ = joint.shape

@@ -216,3 +216,68 @@ def test_remat_preserves_params_and_step():
     assert l0 == l1
     for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_latent_cache_and_cached_step_equivalence():
+    """LatentCache returns exactly the frozen encode, and surfz/edgez steps
+    fed precomputed latents match the fused-encode steps (same rng).
+    SURVEY hard part 4's 'keep both paths'."""
+    from brepgen_tpu.data.latent_cache import LatentCache
+    from brepgen_tpu.train.vae_train import make_encoder_fn
+
+    surf_vae, sp, edge_vae, ep = _tiny_vaes()
+    surf_enc = make_encoder_fn(surf_vae)
+    edge_enc = make_encoder_fn(edge_vae)
+
+    ds = make_dataset(4, seed=3)
+    rng = np.random.default_rng(0)
+    items = [assemble_edgez(d, rng, 10, 8) for d in ds]
+    batch = {
+        "edgepnt": jnp.asarray(np.stack([x[0] for x in items])),
+        "edgepos": jnp.asarray(np.stack([x[1] for x in items])),
+        "edge_mask": jnp.asarray(np.stack([x[2] for x in items])),
+        "surfpnt": jnp.asarray(np.stack([x[3] for x in items])),
+        "surfpos": jnp.asarray(np.stack([x[4] for x in items])),
+        "vertpos": jnp.asarray(np.stack([x[5] for x in items])),
+    }
+    B, nf = batch["surfpnt"].shape[:2]
+    ne = batch["edgepnt"].shape[2]
+
+    # cache == direct encode, and repeats hit
+    cache = LatentCache(surf_enc, sp, (32, 32, 3), 48, bucket=16)
+    grids = np.asarray(batch["surfpnt"]).reshape(B * nf, 32, 32, 3)
+    z_cache = cache(grids)
+    z_direct = np.asarray(surf_enc(sp, jnp.asarray(grids))).reshape(B * nf, -1)
+    np.testing.assert_allclose(z_cache, z_direct, atol=1e-5)
+    m0 = cache.misses
+    cache(grids)
+    assert cache.misses == m0  # all hits on repeat; pad_repeat dups dedup'd
+    assert len(cache) <= len(grids)
+
+    e_cache = LatentCache(edge_enc, ep, (32, 3), 12, bucket=16)
+    latent_batch = dict(batch)
+    latent_batch["surfz"] = jnp.asarray(z_cache.reshape(B, nf, 48))
+    latent_batch["edgez"] = jnp.asarray(
+        e_cache(np.asarray(batch["edgepnt"]).reshape(-1, 32, 3)).reshape(B, nf, ne, 12))
+    del latent_batch["surfpnt"], latent_batch["edgepnt"]
+
+    model = make_edgez_net(**SMALL)
+    S = nf * ne
+    params = model.init(
+        KEY, tuple(jnp.zeros((B, S, d)) for d in (12, 6, 6, 6, 48)),
+        jnp.zeros((B,), jnp.int32))
+    opt = make_ldm_optimizer(lr=1e-3)
+    step = ldm_train.make_edgez_step(model, opt, tables=make_ddpm_tables(),
+                                     surf_encode=surf_enc, surf_vae_params=sp,
+                                     edge_encode=edge_enc, edge_vae_params=ep)
+    s1, m1 = step(init_state(params, opt), batch, jax.random.PRNGKey(7))
+    s2, m2 = step(init_state(params, opt), latent_batch, jax.random.PRNGKey(7))
+    # losses agree to float tolerance; post-Adam params are NOT compared
+    # (Adam sign-normalizes bit-level grad differences between the two
+    # differently-fused XLA programs up to the lr scale)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    val = ldm_train.make_val_step(
+        "edgez", model, make_ddpm_tables(), surf_enc, sp, edge_enc, ep)
+    v1 = val(params, batch, jax.random.PRNGKey(9), 50)
+    v2 = val(params, latent_batch, jax.random.PRNGKey(9), 50)
+    np.testing.assert_allclose(float(v1[0]), float(v2[0]), rtol=1e-5)
