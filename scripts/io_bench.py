@@ -67,7 +67,7 @@ def host_rate(option, batch_size, workers, n_batches=8, batched=False):
     return rate
 
 
-def device_rate(option, batch_size, n_steps=20):
+def device_rate(option, batch_size, n_steps=20, cached_latents=False):
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     tables = make_ddpm_tables()
@@ -104,9 +104,21 @@ def device_rate(option, batch_size, n_steps=20):
         edge_vae = build_vae("edge", dtype=dtype)
         sp = surf_vae.init(key, jnp.zeros((1, 32, 32, 3)))
         ep = edge_vae.init(key, jnp.zeros((1, 32, 3)))
+        surf_enc, edge_enc = make_encoder_fn(surf_vae), make_encoder_fn(edge_vae)
+        if cached_latents:
+            # steady-state --cache_latents: frozen encodes hoisted off the
+            # step (hot cache == precomputed latents for the fixed batch)
+            from brepgen_tpu.data.latent_cache import LatentCache
+
+            sc = LatentCache(surf_enc, sp, (32, 32, 3), 48, bucket=batch_size * NF)
+            ec = LatentCache(edge_enc, ep, (32, 3), 12, bucket=batch_size * NF * NE)
+            z = sc(np.asarray(batch["surfpnt"]).reshape(-1, 32, 32, 3))
+            batch["surfz"] = jnp.asarray(z.reshape(batch_size, NF, 48))
+            z = ec(np.asarray(batch["edgepnt"]).reshape(-1, 32, 3))
+            batch["edgez"] = jnp.asarray(z.reshape(batch_size, NF, NE, 12))
+            del batch["surfpnt"], batch["edgepnt"]
         step_fn = ldm_train.make_edgez_step(
-            model, opt, tables, make_encoder_fn(surf_vae), sp,
-            make_encoder_fn(edge_vae), ep,
+            model, opt, tables, surf_enc, sp, edge_enc, ep,
         )
 
     state = init_state(params, opt)
@@ -123,6 +135,11 @@ def device_rate(option, batch_size, n_steps=20):
 
 def main():
     report = {"host_cpus": os.cpu_count()}
+    if "cached_only" in sys.argv:  # just the edgez cached-latents device leg
+        r = device_rate("edgez", 128, cached_latents=True)
+        report["device_edgez_bs128_cached_latents_steps_per_s"] = round(r, 2)
+        print(json.dumps(report), flush=True)
+        return
     for option, bs in (("surfpos", 512), ("edgez", 128)):
         for workers in (0, 8):
             r = host_rate(option, bs, workers)
@@ -135,6 +152,10 @@ def main():
         host = report[f"host_{option}_bs{bs}_batched_batches_per_s"]
         report[f"{option}_host_over_device"] = round(host / r, 2)
         print(json.dumps(report), flush=True)
+        if option == "edgez":
+            r = device_rate(option, bs, cached_latents=True)
+            report[f"device_{option}_bs{bs}_cached_latents_steps_per_s"] = round(r, 2)
+            print(json.dumps(report), flush=True)
 
 
 if __name__ == "__main__":
