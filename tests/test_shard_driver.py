@@ -40,9 +40,12 @@ def test_run_shards_timeout_retry_resume(tmp_path):
     behavior = {"uid3": "flaky", "uid6": "hang"}
     manifest_path = str(tmp_path / "m.json")
 
+    # timeout must cover interpreter startup on a loaded 1-core host (a
+    # 3 s timeout flakes when pytest shares the core with a device run) —
+    # the hang shard sleeps 3600 s so the timeout path still triggers
     m = run_shards(
         items, _worker_cmd(tmp_path, behavior), manifest_path,
-        shard_size=3, timeout=3.0, retries=1,
+        shard_size=3, timeout=12.0, retries=1,
     )
     # shard 0 ok; shard 1 flaky -> retried -> ok; shard 2 hangs -> killed,
     # retried, killed again -> failed
@@ -55,7 +58,7 @@ def test_run_shards_timeout_retry_resume(tmp_path):
     os.unlink(tmp_path / "done.txt")
     m2 = run_shards(
         items, _worker_cmd(tmp_path, behavior), manifest_path,
-        shard_size=3, timeout=3.0, retries=1,
+        shard_size=3, timeout=12.0, retries=1,
     )
     assert m2 == m
     assert not os.path.exists(tmp_path / "done.txt")  # nothing re-ran
