@@ -124,12 +124,19 @@ def train_vae(model, grids, steps, name):
     return state.params
 
 
+from brepgen_tpu.train.checkpoint import save_params
+
+ckpt_dir = os.path.abspath(os.path.join(args.out, "ckpt"))
+os.makedirs(ckpt_dir, exist_ok=True)
+
 print("== training surface VAE ==", flush=True)
 surf_vae = SurfVAE(block_out_channels=(32, 64, 128, 128), dtype=DTYPE)
 surf_vae_params = train_vae(surf_vae, surf_grids, args.vae_steps, "surf_vae")
+save_params(ckpt_dir, surf_vae_params, "surf_vae")
 print("== training edge VAE ==", flush=True)
 edge_vae = EdgeVAE(block_out_channels=(32, 64, 128), dtype=DTYPE)
 edge_vae_params = train_vae(edge_vae, edge_grids, args.vae_steps, "edge_vae")
+save_params(ckpt_dir, edge_vae_params, "edge_vae")
 
 surf_enc = make_encoder_fn(surf_vae)
 edge_enc = make_encoder_fn(edge_vae)
@@ -200,6 +207,10 @@ def train_stage(stage, net, step_fn, steps):
             print(f"[{stage}] step {i}: loss {last:.4f} "
                   f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
     summary[f"{stage}_final_loss"] = last
+    # save as soon as the stage converges: a hang in a LATER stage or in
+    # sampling must not cost this stage's 40k steps (progressive saves)
+    save_params(ckpt_dir, jax.device_get(state.params), stage)
+    print(f"[{stage}] checkpoint saved", flush=True)
     return state.params
 
 
@@ -236,14 +247,6 @@ net_params["edgez"] = train_stage(
         use_cf=args.cf),
     args.edge_steps)
 
-from brepgen_tpu.train.checkpoint import save_params
-
-ckpt_dir = os.path.abspath(os.path.join(args.out, "ckpt"))
-os.makedirs(ckpt_dir, exist_ok=True)
-save_params(ckpt_dir, surf_vae_params, "surf_vae")
-save_params(ckpt_dir, edge_vae_params, "edge_vae")
-for k, v in net_params.items():
-    save_params(ckpt_dir, v, k)
 # fractional-budget denoiser snapshots (final VAEs shared) for the
 # validity-vs-training-budget curve
 for frac, stages in snapshots.items():
