@@ -73,6 +73,9 @@ def get_args(argv=None):
                         "cache instead of encoding in-step (SURVEY hard "
                         "part 4); requires --data_aug off since rotation "
                         "changes the grids every epoch")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace dir (captures steps 10-30 of "
+                        "epoch 1; view with TensorBoard/xprof)")
     p.add_argument("--remat", choices=("auto", "on", "off"), default="auto",
                    help="per-layer activation rematerialization; auto turns "
                         "it on when B x tokens would overflow HBM with "
@@ -348,6 +351,7 @@ def main(argv=None):
     from brepgen_tpu.data.loader import prefetch_to_device
 
     step = 0
+    prof_on = False
     for epoch in range(1, args.train_nepoch + 1):
         # background producer: host assembly + device transfer of batch
         # k+1..k+2 overlap the device compute of batch k (the reference
@@ -359,11 +363,22 @@ def main(argv=None):
             background=True,
         )
         for batch in stream:
+            if args.profile and not prof_on and step == 10:
+                jax.profiler.start_trace(args.profile)
+                prof_on = True
             jrng, sub = jax.random.split(jrng)
             state, m = step_fn(state, batch, sub)
             if step % 10 == 0:
                 logger.log({k: float(v) for k, v in m.items()}, step)
             step += 1
+            if prof_on and step >= 30:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                prof_on = False
+        if prof_on:  # short epoch: close the trace cleanly
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            prof_on = False
 
         if epoch % args.test_nepoch == 0 and len(val_samples):
             metrics = {}

@@ -14,6 +14,7 @@ Differences from the reference (TPU-first):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import random
 import string
@@ -32,7 +33,7 @@ from brepgen_tpu.postprocess.vertex_merge import PostprocessError
 from brepgen_tpu.sampling import CascadeConfig, build_cascade
 from brepgen_tpu.train.checkpoint import load_params
 from brepgen_tpu.train.vae_train import make_decoder_fn
-from brepgen_tpu.utils.profiling import StageTimer
+from brepgen_tpu.utils.profiling import StageTimer, device_trace
 
 DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "..", "eval_config_tpu.yaml")
 
@@ -159,7 +160,8 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
 
 def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
                 dtype=jnp.float32, max_batches: int = 0, workers: int = 8,
-                small: bool = False, step_overrides=None, aot_cache=None):
+                small: bool = False, step_overrides=None, aot_cache=None,
+                profile_dir=None):
     save_folder = eval_args["save_folder"]
     os.makedirs(save_folder, exist_ok=True)
     cascade, config, surf_decode, edge_decode = init_cascade(
@@ -175,7 +177,10 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
     failures = {}
     while True:
         key, sub = jax.random.split(key)
-        with timer.stage("device_cascade"):
+        # profile the SECOND batch (first includes compiles) with xprof
+        trace = (device_trace(profile_dir) if profile_dir and batches == 1
+                 else contextlib.nullcontext())
+        with timer.stage("device_cascade"), trace:
             out = cascade(sub)  # device compute for batch k...
             sample_np = {k: np.asarray(v) for k, v in out.items()}
         # ...host postprocess for batch k overlaps the next device batch
@@ -228,6 +233,9 @@ def main(argv=None):
                    help="N-step DDIM per stage instead of the full protocol")
     p.add_argument("--aot_cache", type=str, default="",
                    help="dir for serialized stage executables (compile once)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace dir (captures the 2nd batch; "
+                        "view with TensorBoard/xprof)")
     p.add_argument("--compact", action="store_true",
                    help="run the edge stages on a compacted face bucket "
                         "after dedup (trained models dedup heavily; cuts "
@@ -247,7 +255,7 @@ def main(argv=None):
         overrides["compact"] = True
     sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,
                 small=args.small, step_overrides=overrides,
-                aot_cache=args.aot_cache or None)
+                aot_cache=args.aot_cache or None, profile_dir=args.profile)
 
 
 if __name__ == "__main__":
