@@ -40,7 +40,7 @@ from brepgen_tpu.geometry.bspline import (
     eval_nurbs_surface,
 )
 from brepgen_tpu.geometry.step_reader import StepBrep, load_brep
-from brepgen_tpu.geometry.swept import OffsetSurface
+from brepgen_tpu.geometry.swept import OffsetSurface, TrimmedSurface
 
 MAX_FACE = 70  # reference process_brep.py:11
 
@@ -75,9 +75,9 @@ def sample_surface_grid(surface, boundary_pts=None, num: int = 32) -> np.ndarray
         if isinstance(surface, NurbsSurface):
             return eval_nurbs_surface(surface, u, v)
         return eval_bspline_surface(surface, u, v)
-    if isinstance(surface, OffsetSurface):
-        # free-form base: sample its full knot domain (like B-splines
-        # above) and offset along the numeric normal
+    if isinstance(surface, (OffsetSurface, TrimmedSurface)):
+        # free-form base: sample its own domain (full knot domain for
+        # offsets, the trim rectangle for rectangular trims)
         (u0, u1), (v0, v1) = surface.domain()
         return surface.eval_grid(
             np.linspace(u0, u1, num), np.linspace(v0, v1, num)

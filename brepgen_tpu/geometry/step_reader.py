@@ -12,8 +12,11 @@ rational complex records), the elementary analytic classes (PLANE,
 CYLINDRICAL/CONICAL/SPHERICAL/TOROIDAL_SURFACE; LINE, CIRCLE, ELLIPSE
 via ``geometry/analytic.py``), swept and offset surfaces
 (SURFACE_OF_LINEAR_EXTRUSION / _OF_REVOLUTION / OFFSET_SURFACE via
-``geometry/swept.py``), edge curves, oriented edges, loops, face bounds,
-advanced/closed shell. Unsupported geometry raises per-entity (callers
+``geometry/swept.py``), rectangular trims and trimmed curves
+(RECTANGULAR_TRIMMED_SURFACE / TRIMMED_CURVE — delegated to the basis
+where boundary projection already bounds the face, domain-restricted for
+free-form bases), DEGENERATE_TOROIDAL_SURFACE, edge curves, oriented
+edges, loops, face bounds, advanced/closed shell. Unsupported geometry raises per-entity (callers
 skip that file); stray entities outside the shell graph are ignored —
 enough to re-import our own exports and validate them as sewn solids
 (``validate_solid``), and to ingest typical external CAD exports.
@@ -291,6 +294,13 @@ def _build_curve(ents, eid: int):
         return analytic.Ellipse(
             _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
         )
+    if e.type == "TRIMMED_CURVE":
+        # args: name, basis, (trim_1), (trim_2), sense, master_repr.
+        # The extractor re-trims analytic curves from the edge's vertex
+        # points and samples B-splines over their knot domain, so the
+        # basis carries everything downstream consumes; the trim selects
+        # are redundant here.
+        return _build_curve(ents, e.args[1])
     raise ValueError(f"unsupported curve entity {e.type}")
 
 
@@ -338,6 +348,21 @@ def _build_surface(ents, eid: int):
         from brepgen_tpu.geometry import swept
 
         return swept.make_offset(_build_surface(ents, e.args[1]), float(e.args[2]))
+    if e.type == "RECTANGULAR_TRIMMED_SURFACE":
+        # args: name, basis, u1, u2, v1, v2, usense, vsense
+        from brepgen_tpu.geometry import swept
+
+        return swept.make_trimmed(
+            _build_surface(ents, e.args[1]),
+            float(e.args[2]), float(e.args[3]),
+            float(e.args[4]), float(e.args[5]),
+        )
+    if e.type == "DEGENERATE_TOROIDAL_SURFACE":
+        # apple/lemon torus (minor >= major): the parametric evaluation
+        # is the standard torus formula, so reuse it
+        return analytic.Torus(
+            _frame(ents, e.args[1]), float(e.args[2]), float(e.args[3])
+        )
     raise ValueError(f"unsupported surface entity {e.type}")
 
 

@@ -245,6 +245,49 @@ class OffsetSurface(NamedTuple):
         return s + self.distance * n
 
 
+class TrimmedSurface(NamedTuple):
+    """RECTANGULAR_TRIMMED_SURFACE over a free-form basis: the trim
+    rectangle becomes the sampled parameter domain.
+
+    Only free-form bases reach this class — analytic and swept bases
+    recover their face domain from projected boundary points, so
+    ``make_trimmed`` returns them unchanged. B-spline/NURBS/offset bases
+    are otherwise sampled over their FULL knot domain, which would ignore
+    the trim rectangle; this wrapper restricts the grid to it (the
+    reference samples the trimmed face's own UV bounds through OCC,
+    ``data_process/convert_utils.py:290-313``).
+    """
+
+    base: object  # BsplineSurface, NurbsSurface, or OffsetSurface
+    u0: float
+    u1: float
+    v0: float
+    v1: float
+    u_periodic = False
+    v_periodic = False
+
+    def domain(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        return (self.u0, self.u1), (self.v0, self.v1)
+
+    def eval_grid(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if isinstance(self.base, OffsetSurface):
+            return self.base.eval_grid(u, v)
+        u = np.asarray(u, float)
+        v = np.asarray(v, float)
+        if isinstance(self.base, NurbsSurface):
+            return eval_nurbs_surface(self.base, u, v)
+        return eval_bspline_surface(self.base, u, v)
+
+
+def make_trimmed(base, u0, u1, v0, v1):
+    """RECTANGULAR_TRIMMED_SURFACE -> domain-restricted wrapper for
+    free-form bases; pass-through for bases whose face domain the
+    extractor recovers from boundary projection anyway."""
+    if isinstance(base, (BsplineSurface, NurbsSurface, OffsetSurface)):
+        return TrimmedSurface(base, float(u0), float(u1), float(v0), float(v1))
+    return base
+
+
 def make_offset(base, distance: float):
     """OFFSET_SURFACE -> closed-form same-class surface where possible.
 

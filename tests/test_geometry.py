@@ -683,3 +683,111 @@ def test_step_reader_rational_complex_entity(tmp_path):
     assert isinstance(curve, NurbsCurve)
     out = eval_nurbs_curve(curve, np.linspace(0, 1, 64))
     np.testing.assert_allclose(np.hypot(out[:, 0], out[:, 1]), r, atol=1e-12)
+
+
+def test_native_extraction_trimmed_entities(tmp_path):
+    """RECTANGULAR_TRIMMED_SURFACE / TRIMMED_CURVE parse natively and the
+    solid extracts exactly like its untrimmed spelling (analytic bases
+    delegate: boundary projection already bounds the face)."""
+    from brepgen_tpu.data.schema import validate_brep
+    from brepgen_tpu.geometry.native_extract import extract_step_file
+    from brepgen_tpu.geometry.step_reader import load_brep
+
+    r, h = 2.0, 3.0
+    path = str(tmp_path / "trimmed.step")
+    lines = [
+        "#1=CARTESIAN_POINT('',(0.,0.,0.));",
+        f"#2=CARTESIAN_POINT('',(0.,0.,{h}));",
+        "#3=DIRECTION('',(0.,0.,1.));",
+        "#4=DIRECTION('',(1.,0.,0.));",
+        "#5=AXIS2_PLACEMENT_3D('',#1,#3,#4);",
+        "#6=AXIS2_PLACEMENT_3D('',#2,#3,#4);",
+        f"#70=CYLINDRICAL_SURFACE('',#5,{r});",
+        # lateral face spelled as a rectangular trim of the cylinder
+        f"#7=RECTANGULAR_TRIMMED_SURFACE('',#70,0.,6.28318530718,0.,{h},.T.,.T.);",
+        "#8=PLANE('',#5);",
+        "#9=PLANE('',#6);",
+        f"#10=CIRCLE('',#5,{r});",
+        f"#11=CIRCLE('',#6,{r});",
+        # top circle spelled as a TRIMMED_CURVE over the circle
+        "#60=TRIMMED_CURVE('',#11,(PARAMETER_VALUE(0.)),"
+        "(PARAMETER_VALUE(6.28318530718)),.T.,.PARAMETER.);",
+        f"#12=CARTESIAN_POINT('',({r},0.,0.));",
+        f"#13=CARTESIAN_POINT('',({r},0.,{h}));",
+        "#14=VERTEX_POINT('',#12);",
+        "#15=VERTEX_POINT('',#13);",
+        "#16=EDGE_CURVE('',#14,#14,#10,.T.);",
+        "#17=EDGE_CURVE('',#15,#15,#60,.T.);",
+        "#18=ORIENTED_EDGE('',*,*,#16,.T.);",
+        "#19=ORIENTED_EDGE('',*,*,#17,.T.);",
+        "#20=EDGE_LOOP('',(#18));",
+        "#21=EDGE_LOOP('',(#19));",
+        "#22=FACE_OUTER_BOUND('',#20,.T.);",
+        "#23=FACE_OUTER_BOUND('',#21,.T.);",
+        "#24=FACE_BOUND('',#20,.F.);",
+        "#25=ADVANCED_FACE('',(#22),#8,.F.);",
+        "#26=ADVANCED_FACE('',(#23),#9,.T.);",
+        "#27=ADVANCED_FACE('',(#23,#24),#7,.T.);",
+        "#28=CLOSED_SHELL('',(#25,#26,#27));",
+        "#29=MANIFOLD_SOLID_BREP('cyl',#28);",
+    ]
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write("\n".join(lines))
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+
+    brep = load_brep(path)
+    assert len(brep.faces) == 3 and len(brep.edges) == 2
+    # analytic basis passes through the trim wrappers unchanged
+    from brepgen_tpu.geometry import analytic
+
+    assert isinstance(brep.faces[2].surface, analytic.Cylinder)
+    assert isinstance(brep.edges[1].curve, analytic.Circle)
+
+    data = extract_step_file(path)
+    assert data is not None
+    validate_brep(data)
+    # delegation equality: identical extraction to the untrimmed spelling
+    plain = str(tmp_path / "plain.step")
+    _capped_cylinder_step(plain, r, h)
+    ref = extract_step_file(plain)
+    for k in ("surf_wcs", "edge_wcs", "surf_ncs", "edge_ncs", "corner_wcs"):
+        np.testing.assert_array_equal(np.asarray(data[k]), np.asarray(ref[k]))
+
+
+def test_trimmed_surface_freeform_restricts_domain(tmp_path):
+    """A free-form basis under RECTANGULAR_TRIMMED_SURFACE samples the trim
+    rectangle, not the full knot domain."""
+    from brepgen_tpu.geometry import swept
+    from brepgen_tpu.geometry.bspline import eval_bspline_surface, fit_bspline_surface
+    from brepgen_tpu.geometry.native_extract import sample_surface_grid
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 1, 8), indexing="ij")
+    grid = np.stack([gx, gy, 0.2 * np.sin(3 * gx) * gy], -1)
+    bs = fit_bspline_surface(grid, degree=3, n_ctrl=6)
+    tr = swept.make_trimmed(bs, 0.25, 0.75, 0.1, 0.6)
+    assert isinstance(tr, swept.TrimmedSurface)
+    out = sample_surface_grid(tr, num=16)
+    want = eval_bspline_surface(
+        bs, np.linspace(0.25, 0.75, 16), np.linspace(0.1, 0.6, 16)
+    )
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_degenerate_toroidal_surface_parses(tmp_path):
+    """DEGENERATE_TOROIDAL_SURFACE builds the standard torus evaluator."""
+    from brepgen_tpu.geometry import analytic
+    from brepgen_tpu.geometry.step_reader import _build_surface, parse_step
+
+    path = str(tmp_path / "degen.step")
+    with open(path, "w") as f:
+        f.write("ISO-10303-21;\nHEADER;ENDSEC;\nDATA;\n")
+        f.write("#1=CARTESIAN_POINT('',(0.,0.,0.));\n")
+        f.write("#2=DIRECTION('',(0.,0.,1.));\n")
+        f.write("#3=DIRECTION('',(1.,0.,0.));\n")
+        f.write("#4=AXIS2_PLACEMENT_3D('',#1,#2,#3);\n")
+        f.write("#5=DEGENERATE_TOROIDAL_SURFACE('',#4,1.,2.5,.T.);\n")
+        f.write("\nENDSEC;\nEND-ISO-10303-21;\n")
+    surf = _build_surface(parse_step(path), 5)
+    assert isinstance(surf, analytic.Torus)
+    assert surf.major_radius == 1.0 and surf.minor_radius == 2.5
