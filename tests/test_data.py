@@ -256,3 +256,41 @@ def test_batcher_batched_assembly_matches_per_sample():
                 np.testing.assert_array_equal(y, x)
             else:
                 np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-6)
+
+
+def test_dedup_primitives_matches_reference_loop():
+    """dedup_primitives reproduces the reference's surf/edge dedup exactly
+    (deduplicate_surfedge.py:40-55: 6-bit real2bit, sha256 over the
+    reshape(-1,3) bit grid, first occurrence kept, insertion order)."""
+    from hashlib import sha256
+
+    from brepgen_tpu.data.dedup import dedup_primitives, real2bit
+
+    rng = np.random.default_rng(11)
+    base_s = rng.uniform(-1, 1, (5, 32, 32, 3))
+    base_e = rng.uniform(-1, 1, (4, 32, 3))
+    samples = []
+    for i in range(6):
+        # mix exact repeats (drawn with replacement -> must dedup away)
+        # with fresh primitives
+        s = base_s[rng.integers(0, 5, 3)]
+        e = base_e[rng.integers(0, 4, 2)]
+        if i % 2:
+            s = np.concatenate([s, rng.uniform(-1, 1, (1, 32, 32, 3))])
+        samples.append({"surf_ncs": s, "edge_ncs": e})
+
+    for kind, key in (("surface", "surf_ncs"), ("edge", "edge_ncs")):
+        # reference transliteration (same traversal order)
+        unique_hash, unique_data = set(), []
+        for data in samples:
+            arr = data[key]
+            bits = real2bit(arr, n_bits=6)
+            for np_bit, np_real in zip(bits, arr):
+                h = sha256(np_bit.reshape(-1, 3).tobytes()).hexdigest()
+                if h not in unique_hash:
+                    unique_hash.add(h)
+                    unique_data.append(np_real)
+        want = np.stack(unique_data)
+        got = dedup_primitives(samples, kind=kind, n_bits=6)
+        assert len(want) < sum(len(s[key]) for s in samples)  # dedup happened
+        np.testing.assert_array_equal(got, want)
