@@ -602,26 +602,33 @@ def build_cascade(
         }
         jax.block_until_ready(calls[name]())
 
-    def run_stage_random(name: str, seed: int):
+    def run_stage_random(name: str, seed: int, ns_c: int = None):
         """Run ONE stage on fresh random inputs of the production shapes
         (bench-only; fresh inputs defeat the remote backend's result
-        cache). Returns the stage's output pytree."""
+        cache). Returns the stage's output pytree.
+
+        ``ns_c`` times the edge stages on a compacted face bucket of that
+        size (the cfg.compact production path) instead of the full ns.
+        """
         key = jax.random.PRNGKey(seed)
         ks = jax.random.split(key, 6)
         r = lambda k, *s: jax.random.normal(k, s)
+        nsx = ns if ns_c is None else ns_c
+        progs = None if nsx == ns else edge_programs(nsx)
         calls = {
             "surfpos": lambda: s_surfpos(net_params["surfpos"], ks[0]),
             "surfz": lambda: s_surfz(
                 net_params["surfz"], ks[0], r(ks[1], B, ns, 6)
             ),
             "edgepos": lambda: s_edgepos(
-                net_params["edgepos"], ks[0], r(ks[1], B, ns, 6),
-                r(ks[2], B, ns, 48), jnp.zeros((B, ns), bool),
+                net_params["edgepos"], ks[0], r(ks[1], B, nsx, 6),
+                r(ks[2], B, nsx, 48), jnp.zeros((B, nsx), bool),
+                progs=progs,
             ),
             "edgez": lambda: s_edgez(
-                net_params["edgez"], ks[0], r(ks[1], B, ns, ne, 6),
-                r(ks[2], B, ns, 6), r(ks[3], B, ns, 48),
-                jnp.ones((B, ns), bool),
+                net_params["edgez"], ks[0], r(ks[1], B, nsx, ne, 6),
+                r(ks[2], B, nsx, 6), r(ks[3], B, nsx, 48),
+                jnp.ones((B, nsx), bool), progs=progs,
             ),
             "decode": lambda: s_decode(
                 surf_vae_params, edge_vae_params, r(ks[1], B, ns, 48),

@@ -72,18 +72,25 @@ if len(sys.argv) > 4:  # per-stage mode: "edgez" precompiles; "time:edgez" times
         import numpy as _np
 
         name = stage.split(":", 1)[1]
+        # "time:edgepos@24" times the stage on a compacted 24-face bucket
+        # (the cfg.compact production path at that kept-face count)
+        ns_c = None
+        if "@" in name:
+            name, bucket = name.split("@", 1)
+            ns_c = int(bucket)
         seed = int.from_bytes(os.urandom(4), "little")
         reps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
         times = []
         for i in range(reps):
             t0 = time.time()
-            out = cascade.run_stage_random(name, seed + i)
+            out = cascade.run_stage_random(name, seed + i, ns_c=ns_c)
             # synchronize via a real host fetch of one small leaf
             leaf = jax.tree.leaves(out)[0]
             _np.asarray(jax.device_get(leaf)).ravel()[:1]
             times.append(time.time() - t0)
             print(f"{name} run {i}: {times[-1]:.2f}s", flush=True)
         print(json.dumps({"stage": name, "mode": mode, "attn": attn,
+                          "ns_c": ns_c,
                           "times_s": [round(t, 2) for t in times]}), flush=True)
         sys.exit(0)
     t0 = time.time()

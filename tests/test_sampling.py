@@ -201,3 +201,16 @@ def test_compaction_matches_uncompacted():
         np.abs(np.asarray(out_c["edge_pos"], np.float32)).max(axis=(2, 3)) > 0
     ).sum(axis=1)
     assert nonzero_faces.max() <= 2
+
+
+def test_run_stage_random_compact_bucket():
+    """Bench hook: run_stage_random(ns_c=...) runs the edge stages on a
+    compacted face bucket (the cfg.compact production path) so the
+    per-bucket cost can be timed without a trained model."""
+    cascade, cfg = _build_tiny_cascade_with(ddpm_tail=0)
+    B, ne = cfg.batch_size, cfg.num_edges
+    out = cascade.run_stage_random("edgepos", 5, ns_c=2)
+    assert out.shape == (B, 2, ne, 6)
+    mask, zv = cascade.run_stage_random("edgez", 5, ns_c=2)
+    assert mask.shape == (B, 2, ne) and zv.shape == (B, 2, ne, 18)
+    assert np.isfinite(np.asarray(zv, np.float32)).all()
