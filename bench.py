@@ -27,12 +27,37 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 from brepgen_tpu.nn import make_edgez_net, make_surfpos_net
+
+
+def _backend_with_retry() -> str:
+    """First device touch, surviving transient backend unavailability.
+
+    The tunneled axon backend intermittently reports UNAVAILABLE at
+    session acquisition (observed minutes-to-hours outages). A failed
+    init is cached inside the process, so retry by re-exec'ing fresh;
+    BREPGEN_BENCH_RETRY caps the attempts (default 5 x 180 s pauses).
+    """
+    try:
+        return jax.default_backend()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e):
+            raise
+        n = int(os.environ.get("_BREPGEN_BENCH_ATTEMPT", "0"))
+        if n >= int(os.environ.get("BREPGEN_BENCH_RETRY", "5")):
+            raise
+        print(f"backend unavailable (attempt {n + 1}); re-exec in 180s",
+              file=sys.stderr, flush=True)
+        time.sleep(180)
+        os.environ["_BREPGEN_BENCH_ATTEMPT"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 # Estimated reference cascade throughput on A100 (BASELINE.md): ~17.5
 # B-reps/min for batch-16 eager fp16 torch. The repo publishes no numbers;
@@ -68,7 +93,7 @@ def _scan_time(step, x0, n_steps):
 
 
 def main():
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = _backend_with_retry() not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     n_steps = 30 if on_tpu else 2
 

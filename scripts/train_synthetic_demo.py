@@ -271,7 +271,7 @@ error_samples = []
 
 def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
     """One cascade build + n_batches of generation + postprocess; returns
-    (attempted, produced, per-sample dedup'd face counts)."""
+    (valid B-reps produced, per-sample dedup'd face counts)."""
     global produced, attempted
     cascade = build_cascade(
         nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
