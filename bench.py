@@ -71,7 +71,16 @@ SURF_EVALS = 408 + 209   # surfpos (158 pndm + 250 ddpm) + surfz (209)
 EDGE_EVALS = 408 + 209   # edgepos + edgez
 
 
-def _scan_time(step, x0, n_steps):
+def _progress(msg: str) -> None:
+    """Stderr progress marker (stdout stays the single JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _scan_time(step, x0, n_steps, label=""):
     """Seconds per step of x <- step(x) inside one compiled lax.scan."""
 
     @jax.jit
@@ -82,8 +91,10 @@ def _scan_time(step, x0, n_steps):
         x, _ = jax.lax.scan(body, x, None, length=n_steps)
         return x
 
+    _progress(f"{label}: compiling {n_steps}-step scan")
     out = run(x0)                     # compile + first run
     jax.block_until_ready(out)
+    _progress(f"{label}: compiled; timing")
     t0 = time.perf_counter()
     out = run(out)                    # carry chains into the second run
     jax.block_until_ready(out)
@@ -94,6 +105,7 @@ def _scan_time(step, x0, n_steps):
 
 def main():
     on_tpu = _backend_with_retry() not in ("cpu",)
+    _progress(f"backend acquired: {jax.default_backend()}")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     n_steps = 30 if on_tpu else 2
 
@@ -109,7 +121,7 @@ def main():
         out = surf_net.apply(p_s, (x,), t)
         return (out / (jnp.abs(out).max() + 1e-6)).astype(x.dtype)
 
-    t_surf = _scan_time(surf_step, x_s, n_steps)
+    t_surf = _scan_time(surf_step, x_s, n_steps, label="surf")
 
     # --- edge stage (1800-token set) ---
     attn = "pallas" if on_tpu else "xla"
@@ -127,7 +139,8 @@ def main():
         )
         return (out / (jnp.abs(out).max() + 1e-6)).astype(zv.dtype)
 
-    t_edge = _scan_time(edge_step, jax.random.normal(key, (B, S, 18)), n_steps)
+    t_edge = _scan_time(edge_step, jax.random.normal(key, (B, S, 18)), n_steps,
+                        label="edge")
 
     cascade_seconds = SURF_EVALS * t_surf + EDGE_EVALS * t_edge
     breps_per_min = B / cascade_seconds * 60.0
