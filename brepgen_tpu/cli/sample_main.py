@@ -140,11 +140,25 @@ def _init_template(net, stage, use_cf, key):
     return net.init(key, streams, t, None, label)
 
 
-def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, save_folder):
+def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, save_folder,
+                recovery=False):
+    """Postprocess + assemble one sample. With ``recovery``, a sample the
+    strict reference semantics would reject is retried through the
+    edge-pairing recovery ladder (postprocess/edge_merge.py); a rescued
+    sample returns its name with a "recovered: rung N" note instead of
+    err=None, so callers can account strict vs recovered validity."""
+    note = None
     try:
         rec = postprocess_single(sample_np, batch_idx, surf_decode, edge_decode, z_threshold)
     except (PostprocessError, AssertionError, IndexError, ValueError) as e:
-        return None, f"postprocess failed: {e}"
+        if not recovery:
+            return None, f"postprocess failed: {e}"
+        try:
+            rec = postprocess_single(sample_np, batch_idx, surf_decode, edge_decode,
+                                     z_threshold, recovery=True)
+            note = f"recovered: rung {rec.recovery_rung}"
+        except (PostprocessError, AssertionError, IndexError, ValueError):
+            return None, f"postprocess failed: {e}"
     try:
         solid = construct_brep(
             rec.surf_wcs, rec.edge_wcs, rec.face_edge_adj, rec.edge_vertex_adj,
@@ -155,13 +169,13 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
     name = f"{random_string()}_{batch_idx}"
     solid.write_step(os.path.join(save_folder, name + ".step"))
     solid.write_stl(os.path.join(save_folder, name + ".stl"))
-    return name, None
+    return name, note
 
 
 def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
                 dtype=jnp.float32, max_batches: int = 0, workers: int = 8,
                 small: bool = False, step_overrides=None, aot_cache=None,
-                profile_dir=None):
+                profile_dir=None, recovery: bool = True):
     save_folder = eval_args["save_folder"]
     os.makedirs(save_folder, exist_ok=True)
     cascade, config, surf_decode, edge_decode = init_cascade(
@@ -187,7 +201,7 @@ def sample_loop(eval_args: Dict, num_samples: int = 0, seed: int = 0,
         for b in range(config.batch_size):
             pending.append(
                 pool.submit(process_one, sample_np, b, surf_decode, edge_decode,
-                            config.z_threshold, save_folder)
+                            config.z_threshold, save_folder, recovery)
             )
         batches += 1
         done, still = [], []
@@ -240,6 +254,10 @@ def main(argv=None):
                    help="run the edge stages on a compacted face bucket "
                         "after dedup (trained models dedup heavily; cuts "
                         "the quadratic attention cost ~2x at ABC scale)")
+    p.add_argument("--strict", action="store_true",
+                   help="reference postprocess semantics: reject any sample "
+                        "whose edge pairing is ambiguous instead of running "
+                        "the recovery ladder (postprocess/edge_merge.py)")
     args = p.parse_args(argv)
 
     cfg_path = args.config or os.path.abspath(DEFAULT_CONFIG)
@@ -255,7 +273,8 @@ def main(argv=None):
         overrides["compact"] = True
     sample_loop(eval_args, args.num_samples, args.seed, dtype, args.max_batches,
                 small=args.small, step_overrides=overrides,
-                aot_cache=args.aot_cache or None, profile_dir=args.profile)
+                aot_cache=args.aot_cache or None, profile_dir=args.profile,
+                recovery=not args.strict)
 
 
 if __name__ == "__main__":

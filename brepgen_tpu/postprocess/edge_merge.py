@@ -7,16 +7,103 @@ that connect the same vertex set AND whose latent z differ by less than
 one mate (mating duplication doubles each real edge), otherwise the sample
 is rejected ("edge not reduced by 2", ``utils.py:622-623``).
 
+The reference's check is all-or-nothing: ANY ambiguity in the pair list
+(three mutually-similar edges, one unpairable stray) rejects the whole
+sample. ``recovery=True`` adds a bounded ladder the reference does not
+have, tried only after the strict check fails:
+
+  rung 1  greedy minimum-z-distance perfect matching over the strict
+          candidate pairs (resolves over-pairing ambiguity, the dominant
+          observed failure: E edges with > E/2 candidate pairs);
+  rung 2  re-match leftover unmatched edges at 2.5x the z threshold
+          (same-vertex-set requirement kept -- it is topological);
+  rung 3  match leftover edges sharing a vertex set regardless of z;
+  rung 4  DROP edges that still have no mate, then require every face's
+          remaining wire to stay closed (every vertex used by the face
+          has even degree) -- otherwise the sample is rejected as before.
+
+The strict path is byte-identical to the reference semantics; the ladder
+only runs where the reference would have discarded the sample.
+
 Returns (unique_faces_z, unique_edges_z, FaceEdgeAdj, EdgeVertexAdj).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from brepgen_tpu.postprocess.vertex_merge import PostprocessError
+
+
+def _ladder_matching(
+    vsets: List[frozenset],
+    edge_z_cad: np.ndarray,
+    z_threshold: float,
+    info: Optional[dict],
+):
+    """Greedy min-z-distance perfect matching with threshold relaxation.
+
+    Returns (pairs [P,2] sorted, dropped edge-id list). Records the deepest
+    rung used and dropped count in ``info`` when given.
+    """
+    E = len(vsets)
+    matched = np.full(E, -1, np.int64)
+    deepest = 0
+    # rung 1: base threshold; rung 2: 2.5x; rung 3: vertex set only
+    for rung, thr in enumerate((z_threshold, 2.5 * z_threshold, None), start=1):
+        unmatched = [i for i in range(E) if matched[i] < 0]
+        cands = []
+        for a in range(len(unmatched)):
+            for b in range(a + 1, len(unmatched)):
+                i, j = unmatched[a], unmatched[b]
+                if vsets[i] != vsets[j]:
+                    continue
+                d = float(np.abs(edge_z_cad[i] - edge_z_cad[j]).mean())
+                if thr is None or d < thr:
+                    cands.append((d, i, j))
+        for _, i, j in sorted(cands):
+            if matched[i] < 0 and matched[j] < 0:
+                matched[i], matched[j] = j, i
+                deepest = max(deepest, rung)
+    dropped = [i for i in range(E) if matched[i] < 0]
+    if dropped:
+        deepest = 4
+    pairs = sorted({(min(i, int(matched[i])), max(i, int(matched[i])))
+                    for i in range(E) if matched[i] >= 0})
+    pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    if info is not None:
+        info["recovery_rung"] = deepest
+        info["dropped_edges"] = len(dropped)
+    return pairs, dropped
+
+
+def _check_wires_closed(
+    face_ranges: np.ndarray,
+    EdgeVertexAdj: np.ndarray,
+    dropped: set,
+):
+    """After dropping unmatched edges, each face's remaining edges must
+    still form closed wire(s): every vertex the face uses has even degree
+    (a closed edge, v0 == v1, contributes 2) and the face keeps >= 1 edge."""
+    for f in range(len(face_ranges) - 1):
+        deg: Dict[int, int] = {}
+        kept = 0
+        for old in range(face_ranges[f], face_ranges[f + 1]):
+            if old in dropped:
+                continue
+            kept += 1
+            v0, v1 = int(EdgeVertexAdj[old, 0]), int(EdgeVertexAdj[old, 1])
+            deg[v0] = deg.get(v0, 0) + 1
+            deg[v1] = deg.get(v1, 0) + 1
+        if kept == 0:
+            raise PostprocessError(f"recovery dropped all edges of face {f}")
+        odd = [v for v, d in deg.items() if d % 2]
+        if odd:
+            raise PostprocessError(
+                f"recovery broke face {f} wire: odd-degree vertices {odd}"
+            )
 
 
 def detect_shared_edge(
@@ -26,6 +113,8 @@ def detect_shared_edge(
     surf_z_cad: np.ndarray,    # [F, 48]
     z_threshold: float,
     edge_mask_cad: np.ndarray, # [nf, ne]
+    recovery: bool = False,
+    info: Optional[dict] = None,
 ):
     E = len(edge_z_cad)
 
@@ -52,10 +141,26 @@ def detect_shared_edge(
                     similar.append(tuple(sorted((i, j))))
     similar = np.unique(np.array(similar).reshape(-1, 2), axis=0) if similar else np.zeros((0, 2), int)
 
-    if 2 * len(similar) != E:
-        raise PostprocessError(
-            f"edge not reduced by 2: {E} edges, {len(similar)} pairs"
-        )
+    ranges = np.concatenate([[0], np.cumsum((~edge_mask_cad).sum(1))])
+    dropped: set = set()
+    counts = np.bincount(similar.flatten(), minlength=E) if len(similar) else np.zeros(E, int)
+    strict_ok = 2 * len(similar) == E and (counts == 1).all()
+    if not strict_ok and not recovery:
+        # reference semantics: reject outright when the pair count is off
+        # (utils.py:622-623); a count-preserving ambiguity falls through to
+        # the per-edge check in the face loop below, as in the reference.
+        if 2 * len(similar) != E:
+            raise PostprocessError(
+                f"edge not reduced by 2: {E} edges, {len(similar)} pairs"
+            )
+    elif not strict_ok:
+        similar, dropped_list = _ladder_matching(vsets, edge_z_cad, z_threshold, info)
+        dropped = set(dropped_list)
+        if dropped:
+            _check_wires_closed(ranges, EdgeVertexAdj, dropped)
+    elif info is not None:
+        info["recovery_rung"] = 0
+        info["dropped_edges"] = 0
 
     unique_edge_id = similar[:, 0]
     EdgeVertexAdj = EdgeVertexAdj[unique_edge_id]
@@ -63,10 +168,11 @@ def detect_shared_edge(
 
     # map each face's duplicated edges to the unique edge ids
     FaceEdgeAdj = []
-    ranges = np.concatenate([[0], np.cumsum((~edge_mask_cad).sum(1))])
     for f in range(len(ranges) - 1):
         ids = []
         for old in range(ranges[f], ranges[f + 1]):
+            if old in dropped:
+                continue
             row = np.where(similar == old)[0]
             if len(row) != 1:
                 raise PostprocessError(f"edge {old} pairs {len(row)} times")

@@ -29,6 +29,9 @@ class RecoveredBrep(NamedTuple):
     face_edge_adj: list            # list[F] of edge id lists
     edge_vertex_adj: np.ndarray    # [E, 2]
     unique_vertices: np.ndarray    # [V, 3]
+    # 0 = strict pairing; 1-4 = deepest recovery-ladder rung used
+    # (edge_merge.py docstring); only set when recovery was requested
+    recovery_rung: int = 0
 
 
 def edge_endpoints_from_bbox(
@@ -54,6 +57,7 @@ def postprocess_single(
     surf_decode: Callable[[np.ndarray], np.ndarray],  # [N,48] -> [N,32,32,3]
     edge_decode: Callable[[np.ndarray], np.ndarray],  # [N,12] -> [N,32,3]
     z_threshold: float = 0.2,
+    recovery: bool = False,
 ) -> RecoveredBrep:
     surf_mask = np.asarray(sample["surf_mask"][batch_idx])
     valid = ~surf_mask
@@ -71,9 +75,10 @@ def postprocess_single(
     unique_vertices, new_vertex_dict = detect_shared_vertex(
         edgeV_cad, edge_mask_cad, edgeV_bbox
     )
+    info: dict = {}
     unique_faces_z, unique_edges_z, face_edge_adj, edge_vertex_adj = detect_shared_edge(
         unique_vertices, new_vertex_dict, edge_z_cad, surf_z_cad,
-        z_threshold, edge_mask_cad,
+        z_threshold, edge_mask_cad, recovery=recovery, info=info,
     )
 
     surf_ncs = np.asarray(surf_decode(unique_faces_z))
@@ -83,4 +88,5 @@ def postprocess_single(
         surf_ncs, edge_ncs, surf_pos_cad, unique_vertices,
         edge_vertex_adj, face_edge_adj, len(edge_ncs), len(surf_ncs),
     )
-    return RecoveredBrep(surf_wcs, edge_wcs, face_edge_adj, edge_vertex_adj, unique_vertices)
+    return RecoveredBrep(surf_wcs, edge_wcs, face_edge_adj, edge_vertex_adj,
+                         unique_vertices, info.get("recovery_rung", 0))

@@ -33,6 +33,9 @@ P.add_argument("--max_edge", type=int, default=8)
 P.add_argument("--sample_batches", type=int, default=4)
 P.add_argument("--z_thresholds", type=float, nargs="+", default=[0.1, 0.2, 0.3, 0.5])
 P.add_argument("--width", type=int, default=256)
+P.add_argument("--recover", action="store_true",
+               help="enable the edge-pairing recovery ladder; reports "
+                    "strict and recovered validity separately")
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
@@ -86,21 +89,29 @@ for z_thr in args.z_thresholds:
     save_dir = os.path.join(args.out, f"z{z_thr}")
     os.makedirs(save_dir, exist_ok=True)
     produced, attempted, failures = 0, 0, {}
+    recovered_rungs = {}
     t0 = time.time()
     for sample_np in batches:
         for b in range(cfg.batch_size):
             attempted += 1
-            name, err = process_one(sample_np, b, surf_dec, edge_dec, z_thr, save_dir)
+            name, err = process_one(sample_np, b, surf_dec, edge_dec, z_thr,
+                                    save_dir, args.recover)
             if name is not None:
                 produced += 1
+                if err:  # "recovered: rung N"
+                    recovered_rungs[err] = recovered_rungs.get(err, 0) + 1
             else:
                 k_ = err.split(":")[0]
                 failures[k_] = failures.get(k_, 0) + 1
+    n_rec = sum(recovered_rungs.values())
     print(json.dumps({
         "z_threshold": z_thr,
         "attempted": attempted,
         "valid_breps": produced,
+        "valid_strict": produced - n_rec,
+        "recovered": recovered_rungs,
         "validity": round(produced / attempted, 3),
+        "validity_strict": round((produced - n_rec) / attempted, 3),
         "failures": failures,
         "postprocess_s": round(time.time() - t0, 1),
     }), flush=True)

@@ -264,8 +264,9 @@ from brepgen_tpu.cli.sample_main import make_padded_decoder, process_one
 surf_dec = make_padded_decoder(make_decoder_fn(surf_vae), surf_vae_params, (4, 4, 3))
 edge_dec = make_padded_decoder(make_decoder_fn(edge_vae), edge_vae_params, (4, 3))
 
-produced, attempted = 0, 0
+produced, attempted, recovered = 0, 0, 0
 failures = {}
+recovery_rungs = {}
 error_samples = []
 
 
@@ -296,10 +297,14 @@ def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
         for b in range(cfg.batch_size):
             attempted += 1
             name, err = process_one(
-                sample_np, b, surf_dec, edge_dec, cfg.z_threshold, save_dir)
+                sample_np, b, surf_dec, edge_dec, cfg.z_threshold, save_dir,
+                True)  # recovery on; strict-vs-recovered split in summary
             if name is not None:
                 produced += 1
                 run_prod += 1
+                if err:  # "recovered: rung N"
+                    recovered += 1
+                    recovery_rungs[err] = recovery_rungs.get(err, 0) + 1
             else:
                 k_ = err.split(":")[0]
                 failures[k_] = failures.get(k_, 0) + 1
@@ -340,6 +345,8 @@ summary["error_samples"] = error_samples
 
 summary["attempted"] = attempted
 summary["valid_breps"] = produced
+summary["valid_strict"] = produced - recovered
+summary["recovery_rungs"] = recovery_rungs
 summary["failures"] = failures
 summary["wall_minutes"] = round((time.time() - t_start) / 60, 1)
 print(json.dumps(summary, indent=2))

@@ -131,6 +131,139 @@ def test_mismatched_latents_rejected():
         postprocess_single(sample, 0, surf_decode, edge_decode)
 
 
+# ---------------------------------------------------------------------------
+# Edge-pairing recovery ladder (edge_merge.py; no reference analogue --
+# the reference rejects outright at utils.py:622-623)
+# ---------------------------------------------------------------------------
+
+from brepgen_tpu.postprocess.edge_merge import detect_shared_edge  # noqa: E402
+
+
+def _two_vertex_setup(n_edges_v01, extra_closed=0):
+    """n_edges_v01 edges all connecting v0-v1 (ambiguous vertex sets),
+    plus ``extra_closed`` closed stray edges at v2 (unpairable)."""
+    E = n_edges_v01 + extra_closed
+    groups = {0: [], 1: []}
+    for e in range(n_edges_v01):
+        groups[0].append(2 * e)
+        groups[1].append(2 * e + 1)
+    for e in range(n_edges_v01, E):
+        groups.setdefault(2 + e, []).extend([2 * e, 2 * e + 1])
+    verts = np.array([[0, 0, 0], [1, 0, 0]] + [[2, 0, 0]] * extra_closed, float)
+    return verts, groups
+
+
+def test_recovery_rung1_resolves_overpairing():
+    """4 mutually-similar edges (6 candidate pairs > E/2): strict rejects,
+    greedy min-z matching recovers the 2 closest-latent pairs."""
+    verts, groups = _two_vertex_setup(4)
+    z = np.array([0.00, 0.05, 0.10, 0.15])[:, None] * np.ones((4, 12))
+    mask = np.zeros((2, 2), bool)  # 2 faces x 2 edges
+    surf_z = np.zeros((2, 48))
+    with pytest.raises(PostprocessError, match="edge not reduced by 2"):
+        detect_shared_edge(verts, groups, z, surf_z, 0.2, mask)
+    info = {}
+    _, uniq, adj, eva = detect_shared_edge(
+        verts, groups, z, surf_z, 0.2, mask, recovery=True, info=info)
+    assert info["recovery_rung"] == 1 and info["dropped_edges"] == 0
+    # greedy picks (0,1) and (2,3); unique edges are the pair firsts
+    np.testing.assert_allclose(uniq[:, 0], [0.00, 0.10])
+    assert adj == [[0, 0], [1, 1]]
+    np.testing.assert_array_equal(eva, [[0, 1], [0, 1]])
+
+
+def test_recovery_rung2_relaxed_threshold():
+    """A pair whose z distance exceeds the threshold (but < 2.5x) is
+    rejected strictly and recovered at rung 2."""
+    verts, groups = _two_vertex_setup(2)
+    z = np.array([0.0, 0.3])[:, None] * np.ones((2, 12))
+    mask = np.zeros((1, 2), bool)
+    surf_z = np.zeros((1, 48))
+    with pytest.raises(PostprocessError):
+        detect_shared_edge(verts, groups, z, surf_z, 0.2, mask)
+    info = {}
+    _, uniq, adj, _ = detect_shared_edge(
+        verts, groups, z, surf_z, 0.2, mask, recovery=True, info=info)
+    assert info["recovery_rung"] == 2
+    assert adj == [[0, 0]]
+
+
+def test_recovery_rung4_drops_closed_stray():
+    """An unpairable CLOSED stray edge is dropped; faces stay closed."""
+    # face0: edges 0,1 (v0-v1) + closed stray edge 2 at v2; face1: edges 3,4
+    verts = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0]], float)
+    groups = {0: [0, 2, 6, 8], 1: [1, 3, 7, 9], 2: [4, 5]}
+    z = np.array([0.0, 0.01, 0.9, 0.3, 0.31])[:, None] * np.ones((5, 12))
+    mask = np.zeros((2, 3), bool)
+    mask[1, 2] = True  # face1 has only 2 valid edges
+    surf_z = np.zeros((2, 48))
+    with pytest.raises(PostprocessError):
+        detect_shared_edge(verts, groups, z, surf_z, 0.2, mask)
+    info = {}
+    _, uniq, adj, _ = detect_shared_edge(
+        verts, groups, z, surf_z, 0.2, mask, recovery=True, info=info)
+    assert info["recovery_rung"] == 4 and info["dropped_edges"] == 1
+    np.testing.assert_allclose(uniq[:, 0], [0.0, 0.3])
+    assert adj == [[0, 0], [1, 1]]  # stray edge gone from face0
+
+
+def test_recovery_refuses_wire_break():
+    """Dropping an OPEN unpairable edge would break its face's wire: the
+    ladder must still reject the sample."""
+    # face0: single open edge v0-v1 (no mate anywhere); face1: a good pair
+    verts = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], float)
+    groups = {0: [0], 1: [1], 2: [2, 4], 3: [3, 5]}
+    z = np.array([0.9, 0.0, 0.01])[:, None] * np.ones((3, 12))
+    mask = np.zeros((2, 2), bool)
+    mask[0, 1] = True  # face0 has 1 valid edge
+    surf_z = np.zeros((2, 48))
+    with pytest.raises(PostprocessError, match="recovery"):
+        detect_shared_edge(verts, groups, z, surf_z, 0.2, mask, recovery=True)
+
+
+def test_recovery_noop_when_strict_succeeds():
+    """With recovery on, a strictly-valid sample must be byte-identical to
+    the strict result (the ladder never runs)."""
+    data = make_cuboid()
+    sample, surf_decode, edge_decode = cascade_arrays_from_sample(data)
+    rec_s = postprocess_single(sample, 0, surf_decode, edge_decode)
+    rec_r = postprocess_single(sample, 0, surf_decode, edge_decode, recovery=True)
+    assert rec_r.recovery_rung == 0
+    np.testing.assert_array_equal(rec_s.surf_wcs, rec_r.surf_wcs)
+    np.testing.assert_array_equal(rec_s.edge_wcs, rec_r.edge_wcs)
+    np.testing.assert_array_equal(rec_s.edge_vertex_adj, rec_r.edge_vertex_adj)
+    assert rec_s.face_edge_adj == rec_r.face_edge_adj
+
+
+def test_recovery_pipeline_rescues_perturbed_cuboid():
+    """Perturb one duplicate of every edge pair past the z threshold
+    (without touching the decode-id dim): strict rejects the sample, the
+    ladder re-pairs it and the full pipeline recovers correct topology."""
+    data = make_cuboid()
+    sample, surf_decode, edge_decode = cascade_arrays_from_sample(data)
+    # push mean |dz| to 0.24 * 11/12 = 0.22 > 0.2 on the SECOND occurrence
+    # of each unique edge (dims 1..11 only; dim 0 encodes the decode id)
+    ez = sample["edge_z"].copy()
+    seen = set()
+    em = sample["edge_mask"][0]
+    for f in range(ez.shape[1]):
+        for e in range(ez.shape[2]):
+            if em[f, e]:
+                continue
+            eid = round(float(ez[0, f, e, 0]) * 10)
+            if eid in seen:
+                ez[0, f, e, 1:] += 0.24
+            seen.add(eid)
+    sample["edge_z"] = ez
+    with pytest.raises(PostprocessError):
+        postprocess_single(sample, 0, surf_decode, edge_decode)
+    rec = postprocess_single(sample, 0, surf_decode, edge_decode, recovery=True)
+    assert rec.recovery_rung in (1, 2)
+    assert len(rec.edge_wcs) == len(data["edge_ncs"])
+    assert sorted(len(a) for a in rec.face_edge_adj) == sorted(
+        len(a) for a in data["faceEdge_adj"])
+
+
 def test_scattered_masks_roundtrip():
     """The real cascade leaves valid faces/edges scattered among masked
     slots (in-place dedup); postprocess must handle non-contiguous masks."""

@@ -203,6 +203,61 @@ def test_compaction_matches_uncompacted():
     assert nonzero_faces.max() <= 2
 
 
+def test_compaction_matches_uncompacted_ragged_bucket():
+    """Production-shaped compaction: RAGGED kept counts across the batch
+    (one sample keeps more faces than another) with an intermediate bucket
+    (granularity < bucket < ns) exercise the gather/scatter mixed-validity
+    path at cascade.py's compact branch -- the shape real trained
+    checkpoints produce (the degenerate test above collapses every sample
+    to slot 0 and the minimum bucket)."""
+    # bbox_threshold=5.0: the tiny untrained net's faces span +-12, so
+    # real (non-duplicate-half) dedup needs a threshold of ~5; seed 0
+    # yields kept counts [4, 4, 2] -> bucket 4 with granularity 2 and
+    # ns = 2 * num_surfaces = 8. ONE build (one compile), seeds scanned
+    # cheaply on the compiled cascade in case the kernel stack shifts
+    # the sampled values.
+    over = dict(num_surfaces=4, ddpm_tail=0, bbox_threshold=5.0)
+    plain, cfg = _build_tiny_cascade_with(batch_size=3, **over)
+    ns = 2 * cfg.num_surfaces  # late increase (no use_cf)
+    found = None
+    for seed in range(10):
+        out_p = plain(jax.random.PRNGKey(seed))
+        counts = (~np.asarray(out_p["surf_mask"])).sum(axis=1)
+        bucket = max(2, -(-int(counts.max()) // 2) * 2)
+        if counts.min() < counts.max() and 2 < bucket < ns:
+            found = (seed, out_p, counts, bucket)
+            break
+    assert found is not None, "no ragged dedup seed found; widen the scan"
+    seed, out_p, counts, bucket = found
+
+    compact, cfg = _build_tiny_cascade_with(
+        batch_size=3, compact=True, compact_granularity=2, **over
+    )
+    out_c = compact(jax.random.PRNGKey(seed))
+
+    keep = ~np.asarray(out_p["surf_mask"])
+    np.testing.assert_array_equal(np.asarray(out_c["surf_mask"]), ~keep)
+    np.testing.assert_array_equal(
+        np.asarray(out_c["edge_mask"])[keep], np.asarray(out_p["edge_mask"])[keep]
+    )
+    for k in ("surf_pos", "surf_z", "surf_ncs"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[k], np.float32), np.asarray(out_p[k], np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+    for k in ("edge_pos", "edge_z", "edge_v", "edge_ncs"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[k], np.float32)[keep],
+            np.asarray(out_p[k], np.float32)[keep],
+            rtol=1e-4, atol=1e-4, err_msg=k,
+        )
+    # faces outside the compacted bucket scatter back as zeros
+    nonzero_faces = (
+        np.abs(np.asarray(out_c["edge_pos"], np.float32)).max(axis=(2, 3)) > 0
+    ).sum(axis=1)
+    assert nonzero_faces.max() <= bucket
+
+
 def test_run_stage_random_compact_bucket():
     """Bench hook: run_stage_random(ns_c=...) runs the edge stages on a
     compacted face bucket (the cfg.compact production path) so the
