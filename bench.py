@@ -70,6 +70,30 @@ NE = 30
 SURF_EVALS = 408 + 209   # surfpos (158 pndm + 250 ddpm) + surfz (209)
 EDGE_EVALS = 408 + 209   # edgepos + edgez
 
+# v5e peak bf16 matmul throughput; the chip's measured sustained matmul
+# rate here is ~164 TF/s (BASELINE.md "chip calibration") -- MFU is
+# reported against nominal peak so it is comparable across machines.
+V5E_PEAK_TFLOPS = 197.0
+
+
+def denoiser_flops_per_eval(batch, seq, stream_dims, out_dim,
+                            width=768, ffn=1024, layers=12):
+    """Nominal matmul FLOPs of ONE full denoiser apply (fwd only).
+
+    Per token per encoder layer: qkv 6d^2 + proj 2d^2 + attention 4*S*d
+    (scores + weighted sum) + ffn 4*d*f. Stream embedders and the output
+    head are Linear->LN->SiLU->Linear (layers.py:MLPEmbedder): per token
+    2*s_i*d + 2*d^2 each, head 2*d^2 + 2*d*o. LayerNorms/softmax excluded
+    (not matmul FLOPs; MXU-bound MFU is the regression signal wanted).
+    Attention is counted at the nominal head_dim=64 -- the TPU pads the
+    MXU tile to 128, so attention's achievable ceiling is half its
+    speed-of-light; see BASELINE.md.
+    """
+    enc = layers * (8 * width**2 + 4 * seq * width + 4 * width * ffn)
+    emb = sum(2 * s * width + 2 * width**2 for s in stream_dims)
+    head = 2 * width**2 + 2 * width * out_dim
+    return batch * seq * (enc + emb + head)
+
 
 def _progress(msg: str) -> None:
     """Stderr progress marker (stdout stays the single JSON line)."""
@@ -145,6 +169,9 @@ def main():
     cascade_seconds = SURF_EVALS * t_surf + EDGE_EVALS * t_edge
     breps_per_min = B / cascade_seconds * 60.0
 
+    surf_tflops = denoiser_flops_per_eval(B, NS, (6,), 6) / 1e12
+    edge_tflops = denoiser_flops_per_eval(B, S, (12, 6, 6, 6, 48), 18) / 1e12
+
     result = {
         "metric": "breps/min/chip (est. full deepcad cascade, batch 16)",
         "value": round(breps_per_min, 3),
@@ -161,6 +188,11 @@ def main():
             "edge_step_ms": round(t_edge * 1e3, 3),
             "edge_steps_per_s": round(1.0 / t_edge, 2),
             "cascade_s_per_batch16": round(cascade_seconds, 2),
+            "surf_model_tflops_per_eval": round(surf_tflops, 3),
+            "edge_model_tflops_per_eval": round(edge_tflops, 3),
+            "surf_mfu_vs_peak": round(surf_tflops / t_surf / V5E_PEAK_TFLOPS, 4),
+            "edge_mfu_vs_peak": round(edge_tflops / t_edge / V5E_PEAK_TFLOPS, 4),
+            "mfu_peak_tflops": V5E_PEAK_TFLOPS,
         },
     }
     print(json.dumps(result))

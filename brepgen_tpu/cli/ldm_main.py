@@ -6,6 +6,7 @@ import argparse
 import functools
 import os
 import pickle
+import time
 
 import jax
 import jax.numpy as jnp
@@ -352,6 +353,8 @@ def main(argv=None):
 
     step = 0
     prof_on = False
+    t_window = None  # steps/s over 100-step windows (first window holds
+    # the compile; the every-10-step metrics fetch bounds dispatch skew)
     for epoch in range(1, args.train_nepoch + 1):
         # background producer: host assembly + device transfer of batch
         # k+1..k+2 overlap the device compute of batch k (the reference
@@ -371,6 +374,13 @@ def main(argv=None):
             if step % 10 == 0:
                 logger.log({k: float(v) for k, v in m.items()}, step)
             step += 1
+            if step % 100 == 0:
+                now = time.perf_counter()
+                if t_window is not None:
+                    dt = (now - t_window) / 100
+                    print(f"step {step}: {dt * 1e3:.1f} ms/step "
+                          f"({1 / dt:.2f} steps/s)", flush=True)
+                t_window = now
             if prof_on and step >= 30:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()

@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import time
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +114,7 @@ def main(argv=None):
     aug_fn = assemble_surf_uv if args.option == "surface" else assemble_edge_u
 
     step = 0
+    t_window = None  # 100-step ms/step window (first holds the compile)
     for epoch in range(1, args.train_nepoch + 1):
         order = rng.permutation(len(train_data))
         for start in range(0, len(order) - args.batch_size + 1, args.batch_size):
@@ -127,6 +129,13 @@ def main(argv=None):
             if step % 10 == 0:
                 logger.log({"Loss-mse": float(m["mse"]), "Loss-kl": float(m["kl"])}, step)
             step += 1
+            if step % 100 == 0:
+                now = time.perf_counter()
+                if t_window is not None:
+                    dt = (now - t_window) / 100
+                    print(f"step {step}: {dt * 1e3:.1f} ms/step "
+                          f"({1 / dt:.2f} steps/s)", flush=True)
+                t_window = now
 
         if epoch % args.test_nepoch == 0:
             total, count = 0.0, 0

@@ -30,6 +30,21 @@ key = jax.random.PRNGKey(0)
 # busy, so measure before assuming 16 is the right production batch
 bench_bs = int(os.environ.get("BREPGEN_BENCH_BATCH", 16))
 cfg = CascadeConfig.for_mode(mode, batch_size=bench_bs)
+# BREPGEN_BENCH_COMPACT=K: time the END-TO-END compacted cascade with the
+# edge stages forced onto a K-face bucket. Random weights dedup nothing,
+# so the bucket is forced via granularity=K + a huge bbox threshold
+# (every sample collapses to 1 kept face -> bucket exactly K); compute
+# cost is mask-independent at fixed shapes, so this is the honest wall
+# -clock of a production run whose dedup keeps <= K of the ns face slots
+# (reference dedup keeps ~30-60 of 100 ABC slots, sample.py:159-183).
+force_bucket = int(os.environ.get("BREPGEN_BENCH_COMPACT", "0"))
+if force_bucket:
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, compact=True, compact_granularity=force_bucket,
+        bbox_threshold=100.0,
+    )
 use_cf = cfg.use_cf
 
 nets, params = {}, {}
@@ -126,6 +141,7 @@ per_3k = 3000 / cfg.batch_size * t_run / 3600
 print(json.dumps({
     "mode": mode,
     "attn": attn,
+    "forced_compact_bucket": force_bucket or None,
     "batch_size": cfg.batch_size,
     "first_call_s": round(t_first, 1),
     f"steady_s_per_batch{cfg.batch_size}": round(t_run, 2),
