@@ -32,6 +32,9 @@ P.add_argument("--heldout", type=int, default=64)
 P.add_argument("--heldout_seed", type=int, default=777,
                help="disjoint from the demo trainer's dataset seed 0")
 P.add_argument("--times", type=int, default=3)
+P.add_argument("--cls", default=None, choices=["cuboid", "prism", "cylinder"],
+               help="class-conditional run: score samples/<cls> against "
+                    "held-out solids of that kind only (CFG fidelity)")
 args = P.parse_args()
 
 from brepgen_tpu.eval.pipeline import N_POINTS, run_metrics, sample_points_dir
@@ -52,7 +55,25 @@ def grid_triangles(grid: np.ndarray) -> np.ndarray:
 
 def heldout_clouds(out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
-    if args.family == "cuboid":
+    if args.cls is not None:
+        # same parameter ranges as synthetic.random_solid, one kind only
+        from brepgen_tpu.data.synthetic import (
+            make_cuboid, make_cylinder, make_prism,
+        )
+
+        rng0 = np.random.default_rng(args.heldout_seed)
+        ds = []
+        for i in range(args.heldout):
+            if args.cls == "cuboid":
+                ds.append(make_cuboid(*rng0.uniform(0.4, 2.0, 3), uid=f"h{i}"))
+            elif args.cls == "prism":
+                ds.append(make_prism(int(rng0.integers(3, 8)),
+                                     rng0.uniform(0.5, 1.5),
+                                     rng0.uniform(0.4, 2.0), uid=f"h{i}"))
+            else:
+                ds.append(make_cylinder(rng0.uniform(0.5, 1.5),
+                                        rng0.uniform(0.4, 2.0), uid=f"h{i}"))
+    elif args.family == "cuboid":
         from brepgen_tpu.data.synthetic import make_cuboid
 
         rng0 = np.random.default_rng(args.heldout_seed)
@@ -70,9 +91,10 @@ def heldout_clouds(out_dir: str) -> int:
     return len(ds)
 
 
-fake_ply = os.path.join(args.run, "fake_ply")
-real_ply = os.path.join(args.run, "heldout_ply")
-n_fake = sample_points_dir(os.path.join(args.run, "samples"), fake_ply)
+sub = args.cls or ""
+fake_ply = os.path.join(args.run, "fake_ply" + (f"_{sub}" if sub else ""))
+real_ply = os.path.join(args.run, "heldout_ply" + (f"_{sub}" if sub else ""))
+n_fake = sample_points_dir(os.path.join(args.run, "samples", sub), fake_ply)
 n_real = heldout_clouds(real_ply)
 print(f"clouds: {n_fake} fake vs {n_real} held-out", flush=True)
 if n_fake == 0:
@@ -80,7 +102,8 @@ if n_fake == 0:
     sys.exit(1)
 avg = run_metrics(
     fake_ply, real_ply, n_test=n_real, multi=1, times=args.times, seed=0,
-    output=os.path.join(args.run, "metrics_results.txt"),
+    output=os.path.join(
+        args.run, f"metrics_results{'_' + sub if sub else ''}.txt"),
 )
 avg["n_fake_clouds"] = n_fake
 avg["n_heldout"] = n_real

@@ -43,4 +43,8 @@ run edgepos@128 python ldm.py --option edgepos --batch_size 128 \
 run edgez@128 python ldm.py --option edgez --batch_size 128 \
   --cache_latents --train_nepoch 80 --env tp_edgez $COMMON
 
+# preserve the loss curves (MetricsLogger JSONL) as round evidence
+mkdir -p artifacts/train_tp_r4_logs
+find "$PROJ" -name "*.jsonl" -exec cp {} artifacts/train_tp_r4_logs/ \;
+
 echo "=== sweep complete ===" | tee -a "$LOG"
