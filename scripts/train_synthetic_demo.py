@@ -61,6 +61,12 @@ P.add_argument("--cf", action="store_true",
 P.add_argument("--snapshots", type=float, nargs="*", default=[],
                help="fractions of each denoiser budget to checkpoint "
                     "(validity-vs-budget curve; resample via resample_demo.py)")
+P.add_argument("--resume", action="store_true",
+               help="reuse per-stage checkpoints already under OUT/ckpt and "
+                    "skip those stages (restart protection for the multi-"
+                    "stage runs; the host RNG stream then differs from a "
+                    "fresh run for the remaining stages, which only changes "
+                    "which random batches they see)")
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
@@ -124,19 +130,38 @@ def train_vae(model, grids, steps, name):
     return state.params
 
 
-from brepgen_tpu.train.checkpoint import save_params
+from brepgen_tpu.train.checkpoint import load_params, save_params
 
 ckpt_dir = os.path.abspath(os.path.join(args.out, "ckpt"))
 os.makedirs(ckpt_dir, exist_ok=True)
 
+
+def maybe_resume(name):
+    """Return previously-saved params for ``name`` under --resume, else None.
+
+    orbax saves atomically (tmp dir + rename), so a directory that exists is
+    a completed stage, not a torn write from a killed run.
+    """
+    path = os.path.join(ckpt_dir, name)
+    if args.resume and os.path.isdir(path):
+        print(f"[{name}] resumed from {path}", flush=True)
+        summary[f"{name}_resumed"] = True
+        return load_params(path)
+    return None
+
+
 print("== training surface VAE ==", flush=True)
 surf_vae = SurfVAE(block_out_channels=(32, 64, 128, 128), dtype=DTYPE)
-surf_vae_params = train_vae(surf_vae, surf_grids, args.vae_steps, "surf_vae")
-save_params(ckpt_dir, surf_vae_params, "surf_vae")
+surf_vae_params = maybe_resume("surf_vae")
+if surf_vae_params is None:
+    surf_vae_params = train_vae(surf_vae, surf_grids, args.vae_steps, "surf_vae")
+    save_params(ckpt_dir, surf_vae_params, "surf_vae")
 print("== training edge VAE ==", flush=True)
 edge_vae = EdgeVAE(block_out_channels=(32, 64, 128), dtype=DTYPE)
-edge_vae_params = train_vae(edge_vae, edge_grids, args.vae_steps, "edge_vae")
-save_params(ckpt_dir, edge_vae_params, "edge_vae")
+edge_vae_params = maybe_resume("edge_vae")
+if edge_vae_params is None:
+    edge_vae_params = train_vae(edge_vae, edge_grids, args.vae_steps, "edge_vae")
+    save_params(ckpt_dir, edge_vae_params, "edge_vae")
 
 surf_enc = make_encoder_fn(surf_vae)
 edge_enc = make_encoder_fn(edge_vae)
@@ -180,6 +205,9 @@ def make_pool(stage, n_batches):
 
 
 def train_stage(stage, net, step_fn, steps):
+    resumed = maybe_resume(stage)
+    if resumed is not None:
+        return resumed
     b0 = make_batch(stage, 2)
     S = NF * NE
     shapes = {
