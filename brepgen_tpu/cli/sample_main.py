@@ -157,8 +157,10 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
             rec = postprocess_single(sample_np, batch_idx, surf_decode, edge_decode,
                                      z_threshold, recovery=True)
             note = f"recovered: rung {rec.recovery_rung}"
-        except (PostprocessError, AssertionError, IndexError, ValueError):
-            return None, f"postprocess failed: {e}"
+        except (PostprocessError, AssertionError, IndexError, ValueError) as e2:
+            # report BOTH failures: the strict reason is the taxonomy key,
+            # the recovery reason says which ladder rung gave up
+            return None, f"postprocess failed: {e} [recovery failed: {e2}]"
     try:
         solid = construct_brep(
             rec.surf_wcs, rec.edge_wcs, rec.face_edge_adj, rec.edge_vertex_adj,

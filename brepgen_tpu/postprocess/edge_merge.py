@@ -21,9 +21,19 @@ have, tried only after the strict check fails:
   rung 4  DROP edges that still have no mate, then require every face's
           remaining wire to stay closed (every vertex used by the face
           has even degree) -- otherwise the sample is rejected as before.
+          The drop is WIRE-AWARE: an unmatched edge may swap places with
+          any same-vertex-set group member (the group is interchangeable
+          under the pairing), so the ladder drops the member whose face
+          wire is repaired by the removal -- both its endpoints have odd
+          degree there, i.e. that face carries the hallucinated extra
+          duplicate. The dominant odd-group failure ("57 edges, 43
+          pairs") is exactly this shape.
 
 The strict path is byte-identical to the reference semantics; the ladder
-only runs where the reference would have discarded the sample.
+only runs where the reference would have discarded the sample. (A fifth
+rung -- greedy endpoint matching when a face's wire loop cannot be closed
+by nearest-neighbor endpoints -- lives in vertex_merge.py and is reported
+as recovery_rung 5 by the pipeline.)
 
 Returns (unique_faces_z, unique_edges_z, FaceEdgeAdj, EdgeVertexAdj).
 """
@@ -41,6 +51,8 @@ def _ladder_matching(
     vsets: List[frozenset],
     edge_z_cad: np.ndarray,
     z_threshold: float,
+    face_ranges: np.ndarray,
+    EdgeVertexAdj: np.ndarray,
     info: Optional[dict],
 ):
     """Greedy min-z-distance perfect matching with threshold relaxation.
@@ -67,9 +79,51 @@ def _ladder_matching(
             if matched[i] < 0 and matched[j] < 0:
                 matched[i], matched[j] = j, i
                 deepest = max(deepest, rung)
-    dropped = [i for i in range(E) if matched[i] < 0]
-    if dropped:
+
+    # rung 4 (wire-aware drops): every leftover edge belongs to an odd-size
+    # vertex-set group (within a group all pairings are topologically
+    # interchangeable, so groups of even size always fully match at rung 3).
+    # Which member is left unmatched is a free choice -- make it the member
+    # whose FACE wire is repaired by the drop: both its endpoints have odd
+    # degree in that face (the face carries the extra duplicate). Degrees
+    # are tracked across successive drops so multiple odd groups compose.
+    leftover = [i for i in range(E) if matched[i] < 0]
+    dropped: List[int] = []
+    if leftover:
         deepest = 4
+        face_of = (
+            np.searchsorted(face_ranges, np.arange(E), side="right") - 1
+        )
+        deg: Dict[tuple, int] = {}
+        for e in range(E):
+            f = int(face_of[e])
+            for v in (int(EdgeVertexAdj[e, 0]), int(EdgeVertexAdj[e, 1])):
+                deg[(f, v)] = deg.get((f, v), 0) + 1
+
+        def repairs_wire(e: int) -> bool:
+            f = int(face_of[e])
+            v0, v1 = int(EdgeVertexAdj[e, 0]), int(EdgeVertexAdj[e, 1])
+            if v0 == v1:  # closed curve contributes 2 -- parity-neutral
+                return True
+            return deg[(f, v0)] % 2 == 1 and deg[(f, v1)] % 2 == 1
+
+        for d in leftover:
+            pick = d
+            if not repairs_wire(d):
+                for m in range(E):
+                    if m != d and vsets[m] == vsets[d] and matched[m] >= 0 \
+                            and repairs_wire(m):
+                        # swap: d inherits m's mate, m becomes the drop
+                        mate = int(matched[m])
+                        matched[d], matched[mate] = mate, d
+                        matched[m] = -1
+                        pick = m
+                        break
+            f = int(face_of[pick])
+            deg[(f, int(EdgeVertexAdj[pick, 0]))] -= 1
+            deg[(f, int(EdgeVertexAdj[pick, 1]))] -= 1
+            dropped.append(pick)
+
     pairs = sorted({(min(i, int(matched[i])), max(i, int(matched[i])))
                     for i in range(E) if matched[i] >= 0})
     pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
@@ -154,7 +208,8 @@ def detect_shared_edge(
                 f"edge not reduced by 2: {E} edges, {len(similar)} pairs"
             )
     elif not strict_ok:
-        similar, dropped_list = _ladder_matching(vsets, edge_z_cad, z_threshold, info)
+        similar, dropped_list = _ladder_matching(
+            vsets, edge_z_cad, z_threshold, ranges, EdgeVertexAdj, info)
         dropped = set(dropped_list)
         if dropped:
             _check_wires_closed(ranges, EdgeVertexAdj, dropped)

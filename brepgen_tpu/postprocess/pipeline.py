@@ -29,8 +29,9 @@ class RecoveredBrep(NamedTuple):
     face_edge_adj: list            # list[F] of edge id lists
     edge_vertex_adj: np.ndarray    # [E, 2]
     unique_vertices: np.ndarray    # [V, 3]
-    # 0 = strict pairing; 1-4 = deepest recovery-ladder rung used
-    # (edge_merge.py docstring); only set when recovery was requested
+    # 0 = strict pairing; 1-4 = deepest edge-pairing recovery rung used
+    # (edge_merge.py docstring); 5 = loop-closure rescue (vertex_merge.py
+    # edge2loop_greedy); only set when recovery was requested
     recovery_rung: int = 0
 
 
@@ -72,10 +73,10 @@ def postprocess_single(
 
     edgeV_bbox = edge_endpoints_from_bbox(edge_pos_cad, edge_ncs_cad, edge_mask_cad)
 
-    unique_vertices, new_vertex_dict = detect_shared_vertex(
-        edgeV_cad, edge_mask_cad, edgeV_bbox
-    )
     info: dict = {}
+    unique_vertices, new_vertex_dict = detect_shared_vertex(
+        edgeV_cad, edge_mask_cad, edgeV_bbox, recovery=recovery, info=info
+    )
     unique_faces_z, unique_edges_z, face_edge_adj, edge_vertex_adj = detect_shared_edge(
         unique_vertices, new_vertex_dict, edge_z_cad, surf_z_cad,
         z_threshold, edge_mask_cad, recovery=recovery, info=info,
@@ -88,5 +89,8 @@ def postprocess_single(
         surf_ncs, edge_ncs, surf_pos_cad, unique_vertices,
         edge_vertex_adj, face_edge_adj, len(edge_ncs), len(surf_ncs),
     )
+    rung = info.get("recovery_rung", 0)
+    if info.get("vertex_rescued_faces", 0):
+        rung = max(rung, 5)  # loop-closure rescue (vertex_merge.py rung 5)
     return RecoveredBrep(surf_wcs, edge_wcs, face_edge_adj, edge_vertex_adj,
-                         unique_vertices, info.get("recovery_rung", 0))
+                         unique_vertices, rung)

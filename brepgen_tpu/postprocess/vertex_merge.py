@@ -47,6 +47,40 @@ def edge2loop(face_edges: np.ndarray) -> np.ndarray:
     return np.unique(np.array(merged), axis=0)
 
 
+def edge2loop_greedy(face_edges: np.ndarray) -> np.ndarray:
+    """Recovery variant of :func:`edge2loop`: greedy min-distance PERFECT
+    matching over the face's 2k endpoints instead of nearest-neighbor.
+
+    In a closed wire every vertex is shared by exactly two of the face's
+    edges, i.e. the correct endpoint merge IS a perfect matching; strict
+    ``edge2loop`` only finds it when the nearest-neighbor relation happens
+    to be consistent. Greedy matching always produces k pairs, so the
+    merge-count invariant holds structurally; geometric quality is judged
+    downstream (edge pairing, joint optimization, B-rep sewing). The final
+    leftover pair may be an edge's own two endpoints -- kept as a closed
+    curve (circle) merge rather than rejected.
+
+    No reference analogue: the reference aborts the sample outright when
+    loop closure fails (``utils.py:473-498``).
+    """
+    flat = face_edges.reshape(-1, 3)
+    n = len(flat)
+    cands = sorted(
+        (float(np.linalg.norm(flat[i] - flat[j])), i, j)
+        for i in range(n) for j in range(i + 1, n) if i // 2 != j // 2
+    )
+    used = set()
+    merged = []
+    for _, i, j in cands:
+        if i not in used and j not in used:
+            used.update((i, j))
+            merged.append([i, j])
+    rest = [i for i in range(n) if i not in used]
+    for i, j in zip(rest[::2], rest[1::2]):  # same-edge leftovers: closed curve
+        merged.append([i, j])
+    return np.unique(np.array(merged), axis=0)
+
+
 def _keep_largest(groups: List[List[int]]) -> List[List[int]]:
     """Drop groups that are strict subsets of another; dedup identical."""
     sets = [frozenset(g) for g in groups]
@@ -64,30 +98,52 @@ def detect_shared_vertex(
     edgeV_cad: np.ndarray,     # [nf, ne, 6] predicted endpoint pairs (scaled x3)
     edge_mask_cad: np.ndarray, # [nf, ne] True = masked
     edgeV_bbox: List[np.ndarray],  # per face [k, 2, 3] endpoints from bboxes (wcs)
+    recovery: bool = False,
+    info: dict = None,
 ) -> Tuple[np.ndarray, Dict[int, List[int]]]:
     edge_counts = (~edge_mask_cad).sum(1)
     edge_id_offset = 2 * np.concatenate([[0], np.cumsum(edge_counts)])[:-1]
 
     used_vertex = []
     face_sep_merges = []
+    rescued_faces = 0
     for face_idx in range(len(edgeV_cad)):
         face_edges = edgeV_cad[face_idx][~edge_mask_cad[face_idx]].reshape(-1, 2, 3)
         bbox_edges = edgeV_bbox[face_idx]
         start = edge_id_offset[face_idx]
 
-        merged = edge2loop(bbox_edges)
-        if len(merged) == len(face_edges):
-            face_sep_merges.append(start + merged)
-            used_vertex.append(bbox_edges * 3)  # back to the x3-scaled space
-            continue
+        try:
+            merged = edge2loop(bbox_edges)
+            if len(merged) == len(face_edges):
+                face_sep_merges.append(start + merged)
+                used_vertex.append(bbox_edges * 3)  # back to x3-scaled space
+                continue
 
-        merged = edge2loop(face_edges)
-        if len(merged) == len(face_edges):
-            face_sep_merges.append(start + merged)
-            used_vertex.append(face_edges)
-            continue
+            merged = edge2loop(face_edges)
+            if len(merged) == len(face_edges):
+                face_sep_merges.append(start + merged)
+                used_vertex.append(face_edges)
+                continue
+        except IndexError:
+            # a 1-edge face has no non-self nearest neighbor; in strict
+            # mode this propagates (reference parity -- the sample dies),
+            # in recovery mode rung 5 below may still close it as a circle
+            if not recovery:
+                raise
+
+        if recovery:
+            # rung 5: nearest-neighbor closure failed both ways -- greedy
+            # perfect matching of the bbox endpoints always yields k merges
+            merged = edge2loop_greedy(bbox_edges)
+            if len(merged) == len(face_edges):
+                face_sep_merges.append(start + merged)
+                used_vertex.append(bbox_edges * 3)
+                rescued_faces += 1
+                continue
 
         raise PostprocessError(f"face {face_idx}: loop closure failed")
+    if info is not None:
+        info["vertex_rescued_faces"] = rescued_faces
 
     total_pnts = np.vstack(used_vertex).reshape(-1, 2, 3)
     flat = total_pnts.reshape(-1, 3)

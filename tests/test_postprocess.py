@@ -207,6 +207,30 @@ def test_recovery_rung4_drops_closed_stray():
     assert adj == [[0, 0], [1, 1]]  # stray edge gone from face0
 
 
+def test_recovery_rung4_wire_aware_swap():
+    """Odd vertex-set group where greedy min-z strands an edge of a HEALTHY
+    face: the ladder must swap the drop onto the face that carries the
+    extra duplicate (both endpoints odd-degree there). This is the dominant
+    mixed-family failure shape ('57 edges, 43 pairs')."""
+    # face0: e0,e1,e2 all v0-v1 (one hallucinated extra); face1: e3,e4
+    verts = np.array([[0, 0, 0], [1, 0, 0]], float)
+    groups = {0: [0, 2, 4, 6, 8], 1: [1, 3, 5, 7, 9]}
+    # greedy pairs (e0,e3) and (e1,e2), stranding e4 in healthy face1
+    z = np.array([0.0, 0.5, 0.49, 0.01, 0.02])[:, None] * np.ones((5, 12))
+    mask = np.zeros((2, 3), bool)
+    mask[1, 2] = True  # face1 has 2 valid edges
+    surf_z = np.zeros((2, 48))
+    with pytest.raises(PostprocessError, match="edge not reduced by 2"):
+        detect_shared_edge(verts, groups, z, surf_z, 0.2, mask)
+    info = {}
+    _, uniq, adj, _ = detect_shared_edge(
+        verts, groups, z, surf_z, 0.2, mask, recovery=True, info=info)
+    assert info["recovery_rung"] == 4 and info["dropped_edges"] == 1
+    # e0 (face0) was dropped instead of e4; e4 inherited e0's mate e3
+    np.testing.assert_allclose(uniq[:, 0], [0.5, 0.01])
+    assert adj == [[0, 0], [1, 1]]  # both faces keep closed 2-edge wires
+
+
 def test_recovery_refuses_wire_break():
     """Dropping an OPEN unpairable edge would break its face's wire: the
     ladder must still reject the sample."""
@@ -262,6 +286,39 @@ def test_recovery_pipeline_rescues_perturbed_cuboid():
     assert len(rec.edge_wcs) == len(data["edge_ncs"])
     assert sorted(len(a) for a in rec.face_edge_adj) == sorted(
         len(a) for a in data["faceEdge_adj"])
+
+
+def test_loop_closure_greedy_rescue():
+    """Rung 5: a face whose nearest-neighbor endpoint matching is
+    inconsistent (4 unique merges for 3 edges) strictly aborts; greedy
+    perfect matching closes it and detect_shared_vertex reports the rescue."""
+    from brepgen_tpu.postprocess.vertex_merge import (
+        detect_shared_vertex, edge2loop, edge2loop_greedy,
+    )
+
+    p0, p1, p2 = [0, 0, 0], [1, 0, 0], [1, 1, 0]
+    p0_bad = [0.9, 0.1, 0]  # C's far endpoint drifted towards p1
+    bad_face = np.array([[p0, p1], [p1, p2], [p2, p0_bad]], float)
+    good_face = np.array([[p0, p1], [p1, p2], [p2, p0]], float)
+    assert len(edge2loop(bad_face)) != 3       # strict NN is inconsistent
+    merged = edge2loop_greedy(bad_face)
+    assert len(merged) == 3                    # greedy always closes
+    assert [0, 5] in merged.tolist()           # A.start merged with C.end
+
+    # circle: a single closed edge pairs its own endpoints at rung 5
+    circle = np.array([[p0, p0]], float)
+    np.testing.assert_array_equal(edge2loop_greedy(circle), [[0, 1]])
+
+    edgeV_cad = np.stack([bad_face.reshape(3, 6), good_face.reshape(3, 6)])
+    mask = np.zeros((2, 3), bool)
+    bboxes = [bad_face, good_face]
+    with pytest.raises(PostprocessError, match="loop closure"):
+        detect_shared_vertex(edgeV_cad, mask, bboxes)
+    info = {}
+    uv, groups = detect_shared_vertex(edgeV_cad, mask, bboxes,
+                                      recovery=True, info=info)
+    assert info["vertex_rescued_faces"] == 1
+    assert len(uv) == len(groups) >= 3
 
 
 def test_scattered_masks_roundtrip():
