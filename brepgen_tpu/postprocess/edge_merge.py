@@ -53,32 +53,87 @@ def _ladder_matching(
     z_threshold: float,
     face_ranges: np.ndarray,
     EdgeVertexAdj: np.ndarray,
+    unique_vertices: np.ndarray,
     info: Optional[dict],
+    allow_singletons: bool = False,
 ):
     """Greedy min-z-distance perfect matching with threshold relaxation.
 
     Returns (pairs [P,2] sorted, dropped edge-id list). Records the deepest
-    rung used and dropped count in ``info`` when given.
+    rung used and dropped count in ``info`` when given. May MUTATE
+    ``vsets``/``EdgeVertexAdj``/``unique_vertices`` in place when the
+    vertex-unification step fires (see below).
     """
     E = len(vsets)
     matched = np.full(E, -1, np.int64)
     deepest = 0
-    # rung 1: base threshold; rung 2: 2.5x; rung 3: vertex set only
-    for rung, thr in enumerate((z_threshold, 2.5 * z_threshold, None), start=1):
-        unmatched = [i for i in range(E) if matched[i] < 0]
-        cands = []
-        for a in range(len(unmatched)):
-            for b in range(a + 1, len(unmatched)):
-                i, j = unmatched[a], unmatched[b]
-                if vsets[i] != vsets[j]:
+    face_of = np.searchsorted(face_ranges, np.arange(E), side="right") - 1
+
+    def run_rungs():
+        """rung 1: base threshold; rung 2: 2.5x; rung 3: vertex set only."""
+        nonlocal deepest
+        matched[:] = -1
+        for rung, thr in enumerate(
+                (z_threshold, 2.5 * z_threshold, None), start=1):
+            unmatched = [i for i in range(E) if matched[i] < 0]
+            cands = []
+            for a in range(len(unmatched)):
+                for b in range(a + 1, len(unmatched)):
+                    i, j = unmatched[a], unmatched[b]
+                    if vsets[i] != vsets[j]:
+                        continue
+                    d = float(np.abs(edge_z_cad[i] - edge_z_cad[j]).mean())
+                    if thr is None or d < thr:
+                        cands.append((d, i, j))
+            for _, i, j in sorted(cands):
+                if matched[i] < 0 and matched[j] < 0:
+                    matched[i], matched[j] = j, i
+                    deepest = max(deepest, rung)
+
+    run_rungs()
+
+    # rung 4 (vertex unification): two leftover edges that share one
+    # endpoint and have near-identical latents are almost certainly the
+    # same true edge whose OTHER endpoint got merged into two different
+    # unique vertices (the missing-mate failure). Unify those vertices --
+    # a global rename, which never changes any face's wire parity -- and
+    # re-match. Bounded by the leftover count; each step removes a vertex.
+    n_unified = 0
+    while True:
+        left = [i for i in range(E) if matched[i] < 0]
+        best = None
+        for a in range(len(left)):
+            for b in range(a + 1, len(left)):
+                i, j = left[a], left[b]
+                si, sj = vsets[i], vsets[j]
+                if si == sj or len(si) != len(sj):
                     continue
+                if face_of[i] == face_of[j]:
+                    # mating duplicates live on two DIFFERENT faces; two
+                    # leftovers in one face are a duplicated-face artifact
+                    # (let the pipeline's face drop handle it), not a
+                    # missing mate -- unifying would glue its corners
+                    continue
+                if len(si) == 2 and len(si & sj) != 1:
+                    continue  # open edges must anchor on a shared vertex
                 d = float(np.abs(edge_z_cad[i] - edge_z_cad[j]).mean())
-                if thr is None or d < thr:
-                    cands.append((d, i, j))
-        for _, i, j in sorted(cands):
-            if matched[i] < 0 and matched[j] < 0:
-                matched[i], matched[j] = j, i
-                deepest = max(deepest, rung)
+                if d < 2.5 * z_threshold and (best is None or d < best[0]):
+                    best = (d, i, j)
+        if best is None:
+            break
+        _, i, j = best
+        inter = vsets[i] & vsets[j]
+        va = next(iter(vsets[i] - inter))
+        vb = next(iter(vsets[j] - inter))
+        va, vb = min(va, vb), max(va, vb)
+        EdgeVertexAdj[EdgeVertexAdj == vb] = va
+        unique_vertices[va] = (unique_vertices[va] + unique_vertices[vb]) / 2
+        vsets[:] = [frozenset(ev) for ev in EdgeVertexAdj]
+        n_unified += 1
+        deepest = 4
+        run_rungs()
+    if info is not None:
+        info["unified_vertices"] = n_unified
 
     # rung 4 (wire-aware drops): every leftover edge belongs to an odd-size
     # vertex-set group (within a group all pairings are topologically
@@ -89,37 +144,57 @@ def _ladder_matching(
     # are tracked across successive drops so multiple odd groups compose.
     leftover = [i for i in range(E) if matched[i] < 0]
     dropped: List[int] = []
+    n_single = 0
     if leftover:
         deepest = 4
-        face_of = (
-            np.searchsorted(face_ranges, np.arange(E), side="right") - 1
-        )
         deg: Dict[tuple, int] = {}
+        kept = {f: 0 for f in range(len(face_ranges) - 1)}
         for e in range(E):
             f = int(face_of[e])
+            kept[f] += 1
             for v in (int(EdgeVertexAdj[e, 0]), int(EdgeVertexAdj[e, 1])):
                 deg[(f, v)] = deg.get((f, v), 0) + 1
 
-        def repairs_wire(e: int) -> bool:
+        def safe_drop(e: int) -> bool:
+            """Dropping ``e`` must leave its face no worse: parity repaired
+            (or parity-neutral for closed curves) and >= 1 edge kept."""
             f = int(face_of[e])
+            if kept[f] < 2:
+                return False
             v0, v1 = int(EdgeVertexAdj[e, 0]), int(EdgeVertexAdj[e, 1])
             if v0 == v1:  # closed curve contributes 2 -- parity-neutral
                 return True
             return deg[(f, v0)] % 2 == 1 and deg[(f, v1)] % 2 == 1
 
         for d in leftover:
-            pick = d
-            if not repairs_wire(d):
+            pick = d if safe_drop(d) else None
+            if pick is None:
                 for m in range(E):
                     if m != d and vsets[m] == vsets[d] and matched[m] >= 0 \
-                            and repairs_wire(m):
+                            and safe_drop(m):
                         # swap: d inherits m's mate, m becomes the drop
                         mate = int(matched[m])
                         matched[d], matched[mate] = mate, d
                         matched[m] = -1
                         pick = m
                         break
+            if pick is None:
+                if not allow_singletons:
+                    # let the pipeline try dropping a redundant FACE first
+                    # (redundant_faces) -- the cleaner fix when the edge
+                    # belongs to a hallucinated duplicate face
+                    raise PostprocessError(
+                        f"unresolvable unpaired edge {d} "
+                        f"(vertex set {sorted(vsets[d])})")
+                # last resort: KEEP the edge as a single-adjacency unique
+                # edge instead of breaking a wire. The strict path never
+                # checks wire closure either -- the B-rep builder downstream
+                # is the arbiter, and an unchanged wire beats a torn one.
+                matched[d] = d
+                n_single += 1
+                continue
             f = int(face_of[pick])
+            kept[f] -= 1
             deg[(f, int(EdgeVertexAdj[pick, 0]))] -= 1
             deg[(f, int(EdgeVertexAdj[pick, 1]))] -= 1
             dropped.append(pick)
@@ -130,6 +205,7 @@ def _ladder_matching(
     if info is not None:
         info["recovery_rung"] = deepest
         info["dropped_edges"] = len(dropped)
+        info["singleton_edges"] = n_single
     return pairs, dropped
 
 
@@ -138,26 +214,69 @@ def _check_wires_closed(
     EdgeVertexAdj: np.ndarray,
     dropped: set,
 ):
-    """After dropping unmatched edges, each face's remaining edges must
-    still form closed wire(s): every vertex the face uses has even degree
-    (a closed edge, v0 == v1, contributes 2) and the face keeps >= 1 edge."""
+    """Recovery drops must leave every face NO WORSE than it started:
+    no face loses all its edges, and no vertex that had even degree in the
+    face's wire (a closed edge, v0 == v1, contributes 2) turns odd. A face
+    whose wire was already open flows through -- the strict path never
+    checked closure either; the B-rep builder downstream is the arbiter."""
     for f in range(len(face_ranges) - 1):
-        deg: Dict[int, int] = {}
+        deg: Dict[int, List[int]] = {}
         kept = 0
         for old in range(face_ranges[f], face_ranges[f + 1]):
-            if old in dropped:
-                continue
-            kept += 1
+            keep = old not in dropped
+            kept += keep
             v0, v1 = int(EdgeVertexAdj[old, 0]), int(EdgeVertexAdj[old, 1])
-            deg[v0] = deg.get(v0, 0) + 1
-            deg[v1] = deg.get(v1, 0) + 1
+            for v in (v0, v1):
+                pre, post = deg.get(v, (0, 0))
+                deg[v] = (pre + 1, post + keep)
         if kept == 0:
             raise PostprocessError(f"recovery dropped all edges of face {f}")
-        odd = [v for v, d in deg.items() if d % 2]
-        if odd:
+        worse = [v for v, (pre, post) in deg.items()
+                 if post % 2 and not pre % 2]
+        if worse:
             raise PostprocessError(
-                f"recovery broke face {f} wire: odd-degree vertices {odd}"
+                f"recovery broke face {f} wire: odd-degree vertices {worse}"
             )
+
+
+def redundant_faces(vsets: List[frozenset], ranges, max_faces: int = 2):
+    """Faces whose removal fixes odd vertex-set-group parity: hallucinated
+    duplicate faces the bbox dedup missed.
+
+    The dominant converged-demo failure is NOT a stray edge but a whole
+    supernumerary FACE: its edges show up as third copies (groups of 3) or
+    orphans (groups of 1) while every face wire is individually closed.
+    Dropping a face only affects its own wire, so the search is safe: a
+    face qualifies when every even-size group it touches loses an even
+    number of members (no new odd groups) and at least one odd group is
+    repaired. Greedy, bounded at ``max_faces`` drops (beyond two redundant
+    faces the sample is garbage, reject as before).
+
+    Returns indices into the ``ranges`` face order (valid-face space).
+    """
+    from collections import Counter
+
+    sizes = Counter(vsets)
+    drops: List[int] = []
+    while len(drops) < max_faces and any(c % 2 for c in sizes.values()):
+        best, best_gain = None, 0
+        for f in range(len(ranges) - 1):
+            if f in drops:
+                continue
+            cnt = Counter(vsets[e] for e in range(ranges[f], ranges[f + 1]))
+            if not cnt:
+                continue
+            if any(c % 2 and sizes[vs] % 2 == 0 for vs, c in cnt.items()):
+                continue  # would break an even (healthy) group
+            gain = sum(1 for vs, c in cnt.items() if c % 2 and sizes[vs] % 2)
+            if gain > best_gain:
+                best, best_gain = f, gain
+        if best is None:
+            break
+        drops.append(best)
+        for e in range(ranges[best], ranges[best + 1]):
+            sizes[vsets[e]] -= 1
+    return drops
 
 
 def detect_shared_edge(
@@ -169,6 +288,7 @@ def detect_shared_edge(
     edge_mask_cad: np.ndarray, # [nf, ne]
     recovery: bool = False,
     info: Optional[dict] = None,
+    allow_singletons: bool = False,
 ):
     E = len(edge_z_cad)
 
@@ -196,6 +316,11 @@ def detect_shared_edge(
     similar = np.unique(np.array(similar).reshape(-1, 2), axis=0) if similar else np.zeros((0, 2), int)
 
     ranges = np.concatenate([[0], np.cumsum((~edge_mask_cad).sum(1))])
+    if info is not None:
+        # expose the pairing structure so the pipeline's face-drop retry
+        # (redundant_faces) can run when this call raises
+        info["vsets"] = vsets
+        info["ranges"] = ranges
     dropped: set = set()
     counts = np.bincount(similar.flatten(), minlength=E) if len(similar) else np.zeros(E, int)
     strict_ok = 2 * len(similar) == E and (counts == 1).all()
@@ -209,7 +334,8 @@ def detect_shared_edge(
             )
     elif not strict_ok:
         similar, dropped_list = _ladder_matching(
-            vsets, edge_z_cad, z_threshold, ranges, EdgeVertexAdj, info)
+            vsets, edge_z_cad, z_threshold, ranges, EdgeVertexAdj,
+            unique_vertices, info, allow_singletons)
         dropped = set(dropped_list)
         if dropped:
             _check_wires_closed(ranges, EdgeVertexAdj, dropped)
@@ -228,7 +354,8 @@ def detect_shared_edge(
         for old in range(ranges[f], ranges[f + 1]):
             if old in dropped:
                 continue
-            row = np.where(similar == old)[0]
+            # a singleton-kept edge appears as a [d, d] row -- dedupe hits
+            row = np.unique(np.where(similar == old)[0])
             if len(row) != 1:
                 raise PostprocessError(f"edge {old} pairs {len(row)} times")
             ids.append(int(row[0]))

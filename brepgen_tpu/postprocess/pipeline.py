@@ -60,8 +60,70 @@ def postprocess_single(
     z_threshold: float = 0.2,
     recovery: bool = False,
 ) -> RecoveredBrep:
+    """One sample through topology recovery + optimization.
+
+    With ``recovery``, a PostprocessError triggers the bounded retry
+    ladder: first the in-place edge-pairing/loop-closure rungs (1-5,
+    edge_merge.py / vertex_merge.py), then up to two FACE drops (rung 6):
+    when the pairing structure shows whole hallucinated duplicate faces
+    (``redundant_faces``), those faces are masked out and the full
+    topology recovery re-runs on the reduced sample -- the same shape of
+    fix as the reference's bbox face dedup (sample.py:159-183), driven by
+    edge-pairing evidence instead of bboxes.
+    """
+    if not recovery:
+        return _postprocess_once(sample, batch_idx, surf_decode, edge_decode,
+                                 z_threshold, False, frozenset(), False)
+
+    from brepgen_tpu.postprocess.edge_merge import redundant_faces
+
+    face_drops: set = set()
+    allow_singletons = False
+    for _ in range(4):  # try + <=2 face-drop retries + singleton last resort
+        try:
+            rec = _postprocess_once(sample, batch_idx, surf_decode,
+                                    edge_decode, z_threshold, True,
+                                    frozenset(face_drops), allow_singletons)
+            if face_drops:
+                rec = rec._replace(recovery_rung=6)
+            return rec
+        except PostprocessError as e:
+            info = getattr(e, "pairing_info", None)
+            if not info or "vsets" not in info:
+                raise
+            new = []
+            if not allow_singletons:
+                new = redundant_faces(info["vsets"], info["ranges"],
+                                      max_faces=2 - len(face_drops))
+            if not new:
+                if allow_singletons:
+                    raise
+                allow_singletons = True  # keep unpairables single-adjacency
+                continue
+            # map valid-face-space indices back to absolute face slots
+            valid_idx = np.where(~np.asarray(sample["surf_mask"][batch_idx])
+                                 & ~np.isin(
+                                     np.arange(len(sample["surf_mask"][batch_idx])),
+                                     list(face_drops)))[0]
+            face_drops.update(int(valid_idx[f]) for f in new)
+    raise PostprocessError("face-drop retries exhausted")
+
+
+def _postprocess_once(
+    sample: Dict[str, np.ndarray],
+    batch_idx: int,
+    surf_decode: Callable[[np.ndarray], np.ndarray],
+    edge_decode: Callable[[np.ndarray], np.ndarray],
+    z_threshold: float,
+    recovery: bool,
+    face_drops: frozenset,
+    allow_singletons: bool,
+) -> RecoveredBrep:
     surf_mask = np.asarray(sample["surf_mask"][batch_idx])
     valid = ~surf_mask
+    if face_drops:
+        valid = valid.copy()
+        valid[list(face_drops)] = False
 
     edge_mask_cad = np.asarray(sample["edge_mask"][batch_idx])[valid]
     edge_pos_cad = np.asarray(sample["edge_pos"][batch_idx])[valid]
@@ -74,13 +136,18 @@ def postprocess_single(
     edgeV_bbox = edge_endpoints_from_bbox(edge_pos_cad, edge_ncs_cad, edge_mask_cad)
 
     info: dict = {}
-    unique_vertices, new_vertex_dict = detect_shared_vertex(
-        edgeV_cad, edge_mask_cad, edgeV_bbox, recovery=recovery, info=info
-    )
-    unique_faces_z, unique_edges_z, face_edge_adj, edge_vertex_adj = detect_shared_edge(
-        unique_vertices, new_vertex_dict, edge_z_cad, surf_z_cad,
-        z_threshold, edge_mask_cad, recovery=recovery, info=info,
-    )
+    try:
+        unique_vertices, new_vertex_dict = detect_shared_vertex(
+            edgeV_cad, edge_mask_cad, edgeV_bbox, recovery=recovery, info=info
+        )
+        unique_faces_z, unique_edges_z, face_edge_adj, edge_vertex_adj = detect_shared_edge(
+            unique_vertices, new_vertex_dict, edge_z_cad, surf_z_cad,
+            z_threshold, edge_mask_cad, recovery=recovery, info=info,
+            allow_singletons=allow_singletons,
+        )
+    except PostprocessError as e:
+        e.pairing_info = info  # lets the face-drop retry read the structure
+        raise
 
     surf_ncs = np.asarray(surf_decode(unique_faces_z))
     edge_ncs = np.asarray(edge_decode(unique_edges_z))

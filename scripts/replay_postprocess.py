@@ -1,0 +1,151 @@
+"""Replay the host topology-recovery half of postprocess offline.
+
+Loads the raw cascade outputs dumped by ``resample_demo.py --dump``
+(``batches.npz``) and runs vertex merge + edge pairing per sample with
+full error reporting -- PURE NUMPY, no jax import, so it can run while a
+TPU job owns the backend (CLAUDE.md: one jax process at a time). This is
+the iteration harness for the recovery ladder: the stages it replays are
+exactly where every 'postprocess failed' sample dies; VAE decode /
+joint_optimize / construct_brep (the jax+geometry half) are NOT replayed,
+so a sample reported rescued here still has to clear those on the chip.
+
+Usage: python scripts/replay_postprocess.py artifacts/demo_round4/resample_dbg/batches.npz [--strict]
+"""
+
+import argparse
+import json
+import sys
+import traceback
+import types
+
+import numpy as np
+
+# HARD no-jax guarantee: trap any accidental import (None in sys.modules
+# makes ``import jax`` raise instead of touching the backend), and pre-seed
+# dummy parent packages so loading the two pure-numpy modules below cannot
+# trigger brepgen_tpu/__init__ (which pulls jax).
+sys.modules["jax"] = None
+for _name in ("brepgen_tpu", "brepgen_tpu.postprocess"):
+    sys.modules.setdefault(_name, types.ModuleType(_name))
+
+import importlib.util
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_root = __file__.rsplit("/", 2)[0]
+vertex_merge = _load("brepgen_tpu.postprocess.vertex_merge",
+                     f"{_root}/brepgen_tpu/postprocess/vertex_merge.py")
+edge_merge = _load("brepgen_tpu.postprocess.edge_merge",
+                   f"{_root}/brepgen_tpu/postprocess/edge_merge.py")
+
+P = argparse.ArgumentParser()
+P.add_argument("npz")
+P.add_argument("--strict", action="store_true", help="disable the ladder")
+P.add_argument("--z_threshold", type=float, default=0.2)
+P.add_argument("--tracebacks", action="store_true")
+args = P.parse_args()
+
+raw = np.load(args.npz)
+n_batches = 1 + max(int(k.rsplit("__", 1)[1]) for k in raw.files)
+batches = [
+    {k.rsplit("__", 1)[0]: raw[k] for k in raw.files if k.endswith(f"__{bi}")}
+    for bi in range(n_batches)
+]
+
+
+def endpoints_from_bbox(edge_pos, edge_ncs, edge_mask):
+    """pipeline.edge_endpoints_from_bbox, inlined to stay jax-free."""
+    out = []
+    for bbox_row, ncs_row, mask_row in zip(edge_pos, edge_ncs, edge_mask):
+        startends = []
+        for bb, ee in zip(bbox_row[~mask_row], ncs_row[~mask_row]):
+            center = (bb[0:3] + bb[3:]) / 2.0
+            size = float(np.max(bb[3:] - bb[0:3]))
+            wcs = ee * (size / 2) + center
+            startends.append(wcs[[0, -1]].reshape(1, 2, 3))
+        out.append(np.vstack(startends))
+    return out
+
+
+def topology_once(sample, b, recovery, face_drops, allow_singletons):
+    """vertex merge + edge pairing for one sample (the failing stages)."""
+    valid = ~np.asarray(sample["surf_mask"][b])
+    if face_drops:
+        valid = valid.copy()
+        valid[list(face_drops)] = False
+    edge_mask_cad = np.asarray(sample["edge_mask"][b])[valid]
+    edge_pos_cad = np.asarray(sample["edge_pos"][b])[valid]
+    edge_ncs_cad = np.asarray(sample["edge_ncs"][b])[valid]
+    edgeV_cad = np.asarray(sample["edge_v"][b])[valid]
+    edge_z_cad = np.asarray(sample["edge_z"][b])[valid][~edge_mask_cad]
+    surf_z_cad = np.asarray(sample["surf_z"][b])[valid]
+    ebb = endpoints_from_bbox(edge_pos_cad, edge_ncs_cad, edge_mask_cad)
+    info = {}
+    try:
+        uv, groups = vertex_merge.detect_shared_vertex(
+            edgeV_cad, edge_mask_cad, ebb, recovery=recovery, info=info)
+        edge_merge.detect_shared_edge(
+            uv, groups, edge_z_cad, surf_z_cad, args.z_threshold,
+            edge_mask_cad, recovery=recovery, info=info,
+            allow_singletons=allow_singletons)
+    except Exception as e:
+        e.pairing_info = info
+        e.valid = valid
+        raise
+    rung = info.get("recovery_rung", 0)
+    if info.get("vertex_rescued_faces", 0):
+        rung = max(rung, 5)
+    return rung
+
+
+ok, rungs, failures = 0, {}, {}
+attempted = 0
+for sample in batches:
+    B = sample["surf_mask"].shape[0]
+    for b in range(B):
+        attempted += 1
+        face_drops = set()
+        allow_single = False
+        for _ in range(4):  # mirror postprocess_single's retry staging
+            try:
+                rung = topology_once(sample, b, not args.strict, face_drops,
+                                     allow_single)
+                if face_drops:
+                    rung = 6
+                ok += 1
+                rungs[rung] = rungs.get(rung, 0) + 1
+                break
+            except Exception as e:  # noqa: BLE001 -- full taxonomy wanted
+                info = getattr(e, "pairing_info", None)
+                new = []
+                if not args.strict and not allow_single \
+                        and info and "vsets" in info:
+                    new = edge_merge.redundant_faces(
+                        info["vsets"], info["ranges"],
+                        max_faces=2 - len(face_drops))
+                if not new:
+                    if not args.strict and not allow_single \
+                            and info and "vsets" in info:
+                        allow_single = True
+                        continue
+                    key = f"{type(e).__name__}: {e}"[:160]
+                    failures[key] = failures.get(key, 0) + 1
+                    if args.tracebacks:
+                        traceback.print_exc()
+                    break
+                valid_idx = np.where(e.valid)[0]
+                face_drops.update(int(valid_idx[f]) for f in new)
+
+print(json.dumps({
+    "attempted": attempted,
+    "topology_ok": ok,
+    "rungs": {str(k): v for k, v in sorted(rungs.items())},
+    "failures": failures,
+}, indent=2))

@@ -36,6 +36,10 @@ P.add_argument("--width", type=int, default=256)
 P.add_argument("--recover", action="store_true",
                help="enable the edge-pairing recovery ladder; reports "
                     "strict and recovered validity separately")
+P.add_argument("--dump", action="store_true",
+               help="save the raw cascade output batches to OUT/batches.npz "
+                    "so the host postprocess can be replayed offline (pure "
+                    "numpy -- no chip, no jax) while iterating on recovery")
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
@@ -84,12 +88,19 @@ batches = []
 for bi in range(args.sample_batches):
     out = cascade(jax.random.PRNGKey(5000 + bi))
     batches.append({k: np.asarray(v) for k, v in out.items()})
+if args.dump:
+    os.makedirs(args.out, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(args.out, "batches.npz"),
+        **{f"{k}__{bi}": v for bi, b in enumerate(batches)
+           for k, v in b.items()})
 
 for z_thr in args.z_thresholds:
     save_dir = os.path.join(args.out, f"z{z_thr}")
     os.makedirs(save_dir, exist_ok=True)
     produced, attempted, failures = 0, 0, {}
     recovered_rungs = {}
+    error_samples = []
     t0 = time.time()
     for sample_np in batches:
         for b in range(cfg.batch_size):
@@ -103,6 +114,8 @@ for z_thr in args.z_thresholds:
             else:
                 k_ = err.split(":")[0]
                 failures[k_] = failures.get(k_, 0) + 1
+                if len(error_samples) < 20:
+                    error_samples.append(err[:240])
     n_rec = sum(recovered_rungs.values())
     print(json.dumps({
         "z_threshold": z_thr,
@@ -113,5 +126,6 @@ for z_thr in args.z_thresholds:
         "validity": round(produced / attempted, 3),
         "validity_strict": round((produced - n_rec) / attempted, 3),
         "failures": failures,
+        "error_samples": error_samples,
         "postprocess_s": round(time.time() - t0, 1),
     }), flush=True)

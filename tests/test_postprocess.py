@@ -231,9 +231,11 @@ def test_recovery_rung4_wire_aware_swap():
     assert adj == [[0, 0], [1, 1]]  # both faces keep closed 2-edge wires
 
 
-def test_recovery_refuses_wire_break():
-    """Dropping an OPEN unpairable edge would break its face's wire: the
-    ladder must still reject the sample."""
+def test_recovery_never_breaks_wires():
+    """An OPEN unpairable edge has no parity-repairing drop: without the
+    singleton escape hatch the ladder must raise (so the pipeline can try
+    a face drop); with it, the edge is KEPT as a single-adjacency unique
+    edge -- never dropped in a way that tears its face's wire."""
     # face0: single open edge v0-v1 (no mate anywhere); face1: a good pair
     verts = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], float)
     groups = {0: [0], 1: [1], 2: [2, 4], 3: [3, 5]}
@@ -241,8 +243,35 @@ def test_recovery_refuses_wire_break():
     mask = np.zeros((2, 2), bool)
     mask[0, 1] = True  # face0 has 1 valid edge
     surf_z = np.zeros((2, 48))
-    with pytest.raises(PostprocessError, match="recovery"):
+    with pytest.raises(PostprocessError, match="unresolvable unpaired"):
         detect_shared_edge(verts, groups, z, surf_z, 0.2, mask, recovery=True)
+    info = {}
+    _, uniq, adj, _ = detect_shared_edge(
+        verts, groups, z, surf_z, 0.2, mask, recovery=True, info=info,
+        allow_singletons=True)
+    assert info["singleton_edges"] == 1 and info["dropped_edges"] == 0
+    np.testing.assert_allclose(uniq[:, 0], [0.9, 0.0])
+    assert adj == [[0], [1, 1]]  # face0 keeps its lone edge, 1-adjacency
+
+
+def test_recovery_drops_redundant_face():
+    """A hallucinated duplicate face (all its edges are third copies) is
+    detected by redundant_faces and the whole sample recovers at rung 6."""
+    from brepgen_tpu.postprocess.edge_merge import redundant_faces
+
+    # faces 0,1: a true bigon pair (v0-v1 x2 each); face 2: duplicate of
+    # face 0 -- its two edges are third/fourth... use third copies: groups
+    # of 3 after adding ONE extra face with the same two v0-v1 edges
+    vsets = [frozenset({0, 1})] * 6  # f0: e0,e1; f1: e2,e3; f2: e4,e5
+    ranges = np.array([0, 2, 4, 6])
+    # groups: one vset with 6 members -- even, nothing to fix
+    assert redundant_faces(vsets, ranges) == []
+    # now make face 2 a TRIPLE-copy face: 3 edges of a vset seen 3x total
+    vsets = ([frozenset({0, 1}), frozenset({1, 2}), frozenset({2, 0})] * 2
+             + [frozenset({0, 1}), frozenset({1, 2}), frozenset({2, 0})])
+    ranges = np.array([0, 3, 6, 9])
+    drops = redundant_faces(vsets, ranges)
+    assert len(drops) == 1  # any one of the three fixes parity
 
 
 def test_recovery_noop_when_strict_succeeds():
@@ -286,6 +315,26 @@ def test_recovery_pipeline_rescues_perturbed_cuboid():
     assert len(rec.edge_wcs) == len(data["edge_ncs"])
     assert sorted(len(a) for a in rec.face_edge_adj) == sorted(
         len(a) for a in data["faceEdge_adj"])
+
+
+def test_recovery_pipeline_drops_duplicate_face():
+    """Full-pipeline rung 6: a hallucinated duplicate face (every edge a
+    third copy) strictly kills the sample; the face-drop retry removes it
+    and recovers the ORIGINAL topology."""
+    data = make_cuboid()
+    sample, surf_decode, edge_decode = cascade_arrays_from_sample(data)
+    nf = sample["surf_mask"].shape[1]
+    dup = {k: np.concatenate([v, v[:, :1]], axis=1)
+           for k, v in sample.items()}  # append a copy of face 0
+    with pytest.raises(PostprocessError):
+        postprocess_single(dup, 0, surf_decode, edge_decode)
+    rec = postprocess_single(dup, 0, surf_decode, edge_decode, recovery=True)
+    assert rec.recovery_rung == 6
+    assert len(rec.face_edge_adj) == nf  # duplicate gone
+    base = postprocess_single(sample, 0, surf_decode, edge_decode)
+    assert sorted(len(a) for a in rec.face_edge_adj) == sorted(
+        len(a) for a in base.face_edge_adj)
+    assert len(rec.edge_wcs) == len(base.edge_wcs)
 
 
 def test_loop_closure_greedy_rescue():
