@@ -21,27 +21,29 @@ run() {
 
 run prep python scripts/tp_prep_r4.py "$STUBS"
 
+COMMON="--synthetic 1024 --max_face 30 --max_edge 20 --bf16 --num_workers 0
+        --test_nepoch 9999 --save_nepoch 9999 --dir_name $PROJ
+        --surfvae $STUBS/surfvae --edgevae $STUBS/edgevae"
+
+# never-measured stages first (the round can end mid-sweep; surfpos and
+# edgez d768 steps/s already exist from round 3 as a fallback)
+run edgepos@128 python ldm.py --option edgepos --batch_size 128 \
+  --cache_latents --train_nepoch 80 --env tp_edgepos $COMMON
+
+run surfz@256 python ldm.py --option surfz --batch_size 256 \
+  --cache_latents --train_nepoch 150 --env tp_surfz $COMMON
+
 run surf_vae@512 python vae.py --option surface --synthetic 1024 \
   --batch_size 512 --bf16 --train_nepoch 120 --test_nepoch 500 \
   --save_nepoch 500 --env tp_surfvae --dir_name "$PROJ"
 
 run edge_vae@512 python scripts/tp_edge_vae_r4.py
 
-COMMON="--synthetic 1024 --max_face 30 --max_edge 20 --bf16 --num_workers 0
-        --test_nepoch 9999 --save_nepoch 9999 --dir_name $PROJ
-        --surfvae $STUBS/surfvae --edgevae $STUBS/edgevae"
+run edgez@128 python ldm.py --option edgez --batch_size 128 \
+  --cache_latents --train_nepoch 80 --env tp_edgez $COMMON
 
 run surfpos@256 python ldm.py --option surfpos --batch_size 256 \
   --data_aug --train_nepoch 150 --env tp_surfpos $COMMON
-
-run surfz@256 python ldm.py --option surfz --batch_size 256 \
-  --cache_latents --train_nepoch 150 --env tp_surfz $COMMON
-
-run edgepos@128 python ldm.py --option edgepos --batch_size 128 \
-  --cache_latents --train_nepoch 80 --env tp_edgepos $COMMON
-
-run edgez@128 python ldm.py --option edgez --batch_size 128 \
-  --cache_latents --train_nepoch 80 --env tp_edgez $COMMON
 
 # preserve the loss curves (MetricsLogger JSONL) as round evidence
 mkdir -p artifacts/train_tp_r4_logs
