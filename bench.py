@@ -147,30 +147,50 @@ def main():
 
     t_surf = _scan_time(surf_step, x_s, n_steps, label="surf")
 
-    # --- edge stage (1800-token set) ---
+    # --- edge stages ---
     attn = "pallas" if on_tpu else "xla"
     edge_net = make_edgez_net(dtype=dtype, attn_impl=attn)
     S = NS * NE
-    streams = tuple(
-        jax.random.normal(key, (B, S, d)) for d in (12, 6, 6, 6, 48)
-    )
-    mask = jnp.zeros((B, S), bool)
-    p_e = edge_net.init(key, streams, t, mask)
+    p_e = edge_net.init(
+        key,
+        tuple(jax.random.normal(key, (B, S, d)) for d in (12, 6, 6, 6, 48)),
+        t, jnp.zeros((B, S), bool))
 
-    def edge_step(zv):
-        out = edge_net.apply(
-            p_e, (zv[..., :12], zv[..., 12:]) + streams[2:], t, mask
+    def edge_time(seq, label, steps):
+        streams = tuple(
+            jax.random.normal(key, (B, seq, d)) for d in (6, 6, 48)
         )
-        return (out / (jnp.abs(out).max() + 1e-6)).astype(zv.dtype)
+        mask = jnp.zeros((B, seq), bool)
 
-    t_edge = _scan_time(edge_step, jax.random.normal(key, (B, S, 18)), n_steps,
-                        label="edge")
+        def edge_step(zv):
+            out = edge_net.apply(
+                p_e, (zv[..., :12], zv[..., 12:]) + streams, t, mask
+            )
+            return (out / (jnp.abs(out).max() + 1e-6)).astype(zv.dtype)
+
+        return _scan_time(edge_step, jax.random.normal(key, (B, seq, 18)),
+                          steps, label=label)
+
+    # headline: full-slot deepcad edge stage (series-comparable, rounds 1+)
+    t_edge = edge_time(S, "edge", n_steps)
+    # production-compacted edge stages (the `--compact` sampling default):
+    # deepcad dedups ~30-60 of 60 slots -> @32 bucket x 30 edge slots;
+    # ABC ~30-60 of 100 -> @48 bucket x 40 edge slots (BASELINE.md tables)
+    t_edge_dc = edge_time(32 * 30, "edge-compact-deepcad@32", n_steps)
+    t_edge_abc = edge_time(48 * 40, "edge-compact-abc@48", n_steps)
 
     cascade_seconds = SURF_EVALS * t_surf + EDGE_EVALS * t_edge
     breps_per_min = B / cascade_seconds * 60.0
+    # compacted estimates reuse t_surf for the (sub-1%) surf stages; the
+    # ABC surf stage runs 100 tokens vs 60 but is launch-bound either way
+    # (measured e2e: 0.63 vs 0.54 s/stage, BASELINE.md)
+    dc_compact_s = SURF_EVALS * t_surf + EDGE_EVALS * t_edge_dc
+    abc_compact_s = SURF_EVALS * t_surf + EDGE_EVALS * t_edge_abc
 
     surf_tflops = denoiser_flops_per_eval(B, NS, (6,), 6) / 1e12
     edge_tflops = denoiser_flops_per_eval(B, S, (12, 6, 6, 6, 48), 18) / 1e12
+    abc_edge_tflops = denoiser_flops_per_eval(
+        B, 48 * 40, (12, 6, 6, 6, 48), 18) / 1e12
 
     result = {
         "metric": "breps/min/chip (est. full deepcad cascade, batch 16)",
@@ -193,6 +213,17 @@ def main():
             "surf_mfu_vs_peak": round(surf_tflops / t_surf / V5E_PEAK_TFLOPS, 4),
             "edge_mfu_vs_peak": round(edge_tflops / t_edge / V5E_PEAK_TFLOPS, 4),
             "mfu_peak_tflops": V5E_PEAK_TFLOPS,
+            # production configuration (`--compact` is the sampling
+            # default): compacted edge stages at the representative
+            # post-dedup buckets; headline stays full-slot for series
+            # continuity across rounds (BASELINE.md round-4 note)
+            "deepcad_compact32_edge_step_ms": round(t_edge_dc * 1e3, 3),
+            "deepcad_compact32_breps_per_min": round(B / dc_compact_s * 60, 3),
+            "abc_compact48_edge_step_ms": round(t_edge_abc * 1e3, 3),
+            "abc_compact48_breps_per_min": round(B / abc_compact_s * 60, 3),
+            "abc_edge_model_tflops_per_eval": round(abc_edge_tflops, 3),
+            "abc_edge_mfu_vs_peak": round(
+                abc_edge_tflops / t_edge_abc / V5E_PEAK_TFLOPS, 4),
         },
     }
     print(json.dumps(result))

@@ -22,7 +22,7 @@ when the topology is too degenerate to form closed loops.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -166,6 +166,53 @@ def write_step(
     _write_file(path, sf, name)
 
 
+def _coherent_face_flips(face_loops) -> List[bool]:
+    """Per-face flip flags making the shell's edge traversals coherent.
+
+    A closed 2-manifold shell must traverse every shared edge ONCE IN EACH
+    direction across its two adjacent faces (ISO 10303-42; OCC's sewing
+    enforces this in the reference, ``utils.py:934-946`` — caught here by
+    the independent conformance validator, ``step_conformance.py``). The
+    UV-space loop orientation (``orient_loops_uv``) is per-face and knows
+    nothing about neighbors, so propagate a global orientation: 2-color
+    the face graph where an edge shared by faces f,g with stored
+    traversal directions t_f,t_g imposes flip_f XOR flip_g == (t_f==t_g).
+    Non-bipartite components (non-orientable/degenerate input) keep their
+    original orientation — the validator will report them.
+    """
+    uses: Dict[int, List[Tuple[int, bool]]] = {}
+    for f, loops in enumerate(face_loops):
+        for loop in loops:
+            for e, fwd in loop:
+                uses.setdefault(int(e), []).append((f, bool(fwd)))
+    n = len(face_loops)
+    adj: List[List[Tuple[int, bool]]] = [[] for _ in range(n)]
+    for us in uses.values():
+        if len(us) != 2:
+            continue
+        (f, tf), (g, tg) = us
+        if f == g:
+            continue  # both uses inside one face: a flip cannot change parity
+        parity = tf == tg
+        adj[f].append((g, parity))
+        adj[g].append((f, parity))
+    flips = [None] * n
+    for root in range(n):
+        if flips[root] is not None:
+            continue
+        flips[root] = False
+        queue = [root]
+        while queue:
+            f = queue.pop()
+            for g, parity in adj[f]:
+                want = flips[f] ^ parity
+                if flips[g] is None:
+                    flips[g] = want
+                    queue.append(g)
+                # contradictions (flips[g] != want) are left in place
+    return [bool(x) for x in flips]
+
+
 def write_step_brep(
     path: str,
     surfaces: List[BsplineSurface],          # per face
@@ -210,11 +257,17 @@ def write_step_brep(
             f"EDGE_CURVE('',#{vert_ent[vs]},#{vert_ent[ve]},#{cid},.T.)"
         )
 
+    # shell-coherent orientation: flipped faces reverse their loops and
+    # carry same_sense=.F. so the face normal (loop x surface) is preserved
+    flips = _coherent_face_flips(face_loops)
+
     face_ids = []
     for f, loops in enumerate(face_loops):
         sid = _surface_entity(sf, surfaces[f])
         bound_ids = []
         for li, loop in enumerate(loops):
+            if flips[f]:
+                loop = [(e, not fwd) for e, fwd in reversed(list(loop))]
             oes = []
             for e, forward in loop:
                 e = int(e)
@@ -226,10 +279,11 @@ def write_step_brep(
             elid = sf.add("EDGE_LOOP('',({}))".format(",".join(f"#{i}" for i in oes)))
             kind = "FACE_OUTER_BOUND" if li == 0 else "FACE_BOUND"
             bound_ids.append(sf.add(f"{kind}('',#{elid},.T.)"))
+        sense = ".F." if flips[f] else ".T."
         face_ids.append(
             sf.add(
-                "ADVANCED_FACE('',({}),#{},.T.)".format(
-                    ",".join(f"#{i}" for i in bound_ids), sid
+                "ADVANCED_FACE('',({}),#{},{})".format(
+                    ",".join(f"#{i}" for i in bound_ids), sid, sense
                 )
             )
         )

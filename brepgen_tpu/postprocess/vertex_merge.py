@@ -100,6 +100,7 @@ def detect_shared_vertex(
     edgeV_bbox: List[np.ndarray],  # per face [k, 2, 3] endpoints from bboxes (wcs)
     recovery: bool = False,
     info: dict = None,
+    greedy_closure: bool = True,   # rung-5 ablation knob (tests/ablation)
 ) -> Tuple[np.ndarray, Dict[int, List[int]]]:
     edge_counts = (~edge_mask_cad).sum(1)
     edge_id_offset = 2 * np.concatenate([[0], np.cumsum(edge_counts)])[:-1]
@@ -131,7 +132,7 @@ def detect_shared_vertex(
             if not recovery:
                 raise
 
-        if recovery:
+        if recovery and greedy_closure:
             # rung 5: nearest-neighbor closure failed both ways -- greedy
             # perfect matching of the bbox endpoints always yields k merges
             merged = edge2loop_greedy(bbox_edges)

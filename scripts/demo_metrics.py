@@ -27,7 +27,8 @@ import numpy as np
 
 P = argparse.ArgumentParser()
 P.add_argument("--run", required=True, help="train_synthetic_demo.py --out dir")
-P.add_argument("--family", default="all", choices=["all", "cuboid"])
+P.add_argument("--family", default="all",
+               choices=["all", "cuboid", "heldout"])
 P.add_argument("--heldout", type=int, default=64)
 P.add_argument("--heldout_seed", type=int, default=777,
                help="disjoint from the demo trainer's dataset seed 0")
@@ -35,6 +36,13 @@ P.add_argument("--times", type=int, default=3)
 P.add_argument("--cls", default=None, choices=["cuboid", "prism", "cylinder"],
                help="class-conditional run: score samples/<cls> against "
                     "held-out solids of that kind only (CFG fidelity)")
+P.add_argument("--vs", default=None, choices=["cuboid", "prism", "cylinder"],
+               help="score --cls samples against held-out solids of a "
+                    "DIFFERENT kind (cross-class MMD matrix: conditioning "
+                    "works iff cross-class MMD > within-class MMD)")
+P.add_argument("--samples_dir", default=None,
+               help="explicit STL directory (overrides RUN/samples[/<cls>]"
+                    "; e.g. a resample_demo --cf output RUN/w0.6/<cls>)")
 args = P.parse_args()
 
 from brepgen_tpu.eval.pipeline import N_POINTS, run_metrics, sample_points_dir
@@ -53,9 +61,12 @@ def grid_triangles(grid: np.ndarray) -> np.ndarray:
     return np.concatenate([t1, t2], axis=2).reshape(-1, 3, 3)
 
 
+HELD_KIND = args.vs or args.cls
+
+
 def heldout_clouds(out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
-    if args.cls is not None:
+    if HELD_KIND is not None:
         # same parameter ranges as synthetic.random_solid, one kind only
         from brepgen_tpu.data.synthetic import (
             make_cuboid, make_cylinder, make_prism,
@@ -64,9 +75,9 @@ def heldout_clouds(out_dir: str) -> int:
         rng0 = np.random.default_rng(args.heldout_seed)
         ds = []
         for i in range(args.heldout):
-            if args.cls == "cuboid":
+            if HELD_KIND == "cuboid":
                 ds.append(make_cuboid(*rng0.uniform(0.4, 2.0, 3), uid=f"h{i}"))
-            elif args.cls == "prism":
+            elif HELD_KIND == "prism":
                 ds.append(make_prism(int(rng0.integers(3, 8)),
                                      rng0.uniform(0.5, 1.5),
                                      rng0.uniform(0.4, 2.0), uid=f"h{i}"))
@@ -82,7 +93,8 @@ def heldout_clouds(out_dir: str) -> int:
     else:
         from brepgen_tpu.data.synthetic import make_dataset
 
-        ds = make_dataset(args.heldout, seed=args.heldout_seed)
+        ds = make_dataset(args.heldout, seed=args.heldout_seed,
+                          family=args.family)
     rng = np.random.default_rng(args.heldout_seed + 1)
     for i, d in enumerate(ds):
         tris = np.concatenate([grid_triangles(g) for g in d["surf_wcs"]])
@@ -92,9 +104,12 @@ def heldout_clouds(out_dir: str) -> int:
 
 
 sub = args.cls or ""
+tag = sub + (f"_vs_{args.vs}" if args.vs and args.vs != args.cls else "")
 fake_ply = os.path.join(args.run, "fake_ply" + (f"_{sub}" if sub else ""))
-real_ply = os.path.join(args.run, "heldout_ply" + (f"_{sub}" if sub else ""))
-n_fake = sample_points_dir(os.path.join(args.run, "samples", sub), fake_ply)
+real_ply = os.path.join(
+    args.run, "heldout_ply" + (f"_{HELD_KIND}" if HELD_KIND else ""))
+stl_dir = args.samples_dir or os.path.join(args.run, "samples", sub)
+n_fake = sample_points_dir(stl_dir, fake_ply)
 n_real = heldout_clouds(real_ply)
 print(f"clouds: {n_fake} fake vs {n_real} held-out", flush=True)
 if n_fake == 0:
@@ -103,8 +118,11 @@ if n_fake == 0:
 avg = run_metrics(
     fake_ply, real_ply, n_test=n_real, multi=1, times=args.times, seed=0,
     output=os.path.join(
-        args.run, f"metrics_results{'_' + sub if sub else ''}.txt"),
+        args.run, f"metrics_results{'_' + tag if tag else ''}.txt"),
 )
 avg["n_fake_clouds"] = n_fake
 avg["n_heldout"] = n_real
+if sub:
+    avg["cls"] = sub
+    avg["vs"] = HELD_KIND
 print(json.dumps(avg))

@@ -50,7 +50,12 @@ P.add_argument("npz")
 P.add_argument("--strict", action="store_true", help="disable the ladder")
 P.add_argument("--z_threshold", type=float, default=0.2)
 P.add_argument("--tracebacks", action="store_true")
+P.add_argument("--ablate", type=int, nargs="*", default=[], choices=[4, 5, 6],
+               help="disable individual recovery rungs (rung ablation): "
+                    "4 = edge-pairing ladder (matching/unification/drops/"
+                    "singletons), 5 = greedy loop closure, 6 = face drops")
 args = P.parse_args()
+ABLATE = set(args.ablate)
 
 raw = np.load(args.npz)
 n_batches = 1 + max(int(k.rsplit("__", 1)[1]) for k in raw.files)
@@ -90,10 +95,11 @@ def topology_once(sample, b, recovery, face_drops, allow_singletons):
     info = {}
     try:
         uv, groups = vertex_merge.detect_shared_vertex(
-            edgeV_cad, edge_mask_cad, ebb, recovery=recovery, info=info)
+            edgeV_cad, edge_mask_cad, ebb, recovery=recovery, info=info,
+            greedy_closure=5 not in ABLATE)
         edge_merge.detect_shared_edge(
             uv, groups, edge_z_cad, surf_z_cad, args.z_threshold,
-            edge_mask_cad, recovery=recovery, info=info,
+            edge_mask_cad, recovery=recovery and 4 not in ABLATE, info=info,
             allow_singletons=allow_singletons)
     except Exception as e:
         e.pairing_info = info
@@ -107,6 +113,9 @@ def topology_once(sample, b, recovery, face_drops, allow_singletons):
 
 ok, rungs, failures = 0, {}, {}
 attempted = 0
+face_counts = []       # (pre-drop, post-drop) per rung-6 rescue: the
+#                        false-rescue audit compares post-drop counts to
+#                        the generating family's legitimate face counts
 for sample in batches:
     B = sample["surf_mask"].shape[0]
     for b in range(B):
@@ -119,19 +128,22 @@ for sample in batches:
                                      allow_single)
                 if face_drops:
                     rung = 6
+                    n_valid = int((~np.asarray(sample["surf_mask"][b])).sum())
+                    face_counts.append([n_valid, n_valid - len(face_drops)])
                 ok += 1
                 rungs[rung] = rungs.get(rung, 0) + 1
                 break
             except Exception as e:  # noqa: BLE001 -- full taxonomy wanted
                 info = getattr(e, "pairing_info", None)
                 new = []
-                if not args.strict and not allow_single \
+                if not args.strict and 6 not in ABLATE and not allow_single \
                         and info and "vsets" in info:
                     new = edge_merge.redundant_faces(
                         info["vsets"], info["ranges"],
                         max_faces=2 - len(face_drops))
                 if not new:
-                    if not args.strict and not allow_single \
+                    if not args.strict and 4 not in ABLATE \
+                            and not allow_single \
                             and info and "vsets" in info:
                         allow_single = True
                         continue
@@ -145,7 +157,9 @@ for sample in batches:
 
 print(json.dumps({
     "attempted": attempted,
+    "ablated_rungs": sorted(ABLATE),
     "topology_ok": ok,
     "rungs": {str(k): v for k, v in sorted(rungs.items())},
+    "rung6_face_counts_pre_post": face_counts,
     "failures": failures,
 }, indent=2))

@@ -40,11 +40,26 @@ P.add_argument("--dump", action="store_true",
                help="save the raw cascade output batches to OUT/batches.npz "
                     "so the host postprocess can be replayed offline (pure "
                     "numpy -- no chip, no jax) while iterating on recovery")
+P.add_argument("--cf", action="store_true",
+               help="checkpoints are class-conditional (use_cf); sample per "
+                    "class with CFG (reference sample.py:132-134 semantics)")
+P.add_argument("--classes", type=int, nargs="+", default=[1, 2, 3],
+               help="class ids to sample under --cf (1=cuboid 2=prism "
+                    "3=cylinder; 0=uncond)")
+P.add_argument("--cfg_weights", type=float, nargs="+", default=[0.6],
+               help="guidance weights to sweep under --cf (reference w=0.6)")
+P.add_argument("--from_dump", type=str, default=None,
+               help="skip generation: load raw cascade batches from a "
+                    "batches.npz dumped by an earlier --dump run (e.g. to "
+                    "re-postprocess the SAME samples strict vs recovered "
+                    "without paying chip time twice)")
 args = P.parse_args()
 
 NF, NE = args.max_face, args.max_edge
 DTYPE = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 kw = dict(width=args.width, num_heads=8, ffn_width=512, num_layers=6, dtype=DTYPE)
+if args.cf:
+    kw = dict(kw, use_cf=True, num_classes=4)  # 3 kinds + uncond 0
 
 nets = {
     "surfpos": make_surfpos_net(**kw),
@@ -59,10 +74,11 @@ shapes = {
     "edgepos": [(1, 12, 6), (1, 12, 6), (1, 12, 48)],
     "edgez": [(1, 12, 12), (1, 12, 6), (1, 12, 6), (1, 12, 6), (1, 12, 48)],
 }
+init_label = jnp.ones((1, 1), jnp.int32) if args.cf else None
 net_params = {}
 for stage, net in nets.items():
     template = net.init(key, tuple(jnp.zeros(s) for s in shapes[stage]),
-                        jnp.zeros((1,), jnp.int32))
+                        jnp.zeros((1,), jnp.int32), None, init_label)
     net_params[stage] = load_params(os.path.join(args.ckpt, stage), template)
 
 surf_vae = SurfVAE(block_out_channels=(32, 64, 128, 128), dtype=DTYPE)
@@ -72,38 +88,43 @@ ev_t = edge_vae.init(key, jnp.zeros((1, 32, 3)))
 surf_vae_params = load_params(os.path.join(args.ckpt, "surf_vae"), sv_t)
 edge_vae_params = load_params(os.path.join(args.ckpt, "edge_vae"), ev_t)
 
-cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE)
-cascade = build_cascade(
-    nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
-    make_decoder_fn(edge_vae), edge_vae_params, cfg,
-)
-
 from brepgen_tpu.cli.sample_main import make_padded_decoder, process_one
 
 surf_dec = make_padded_decoder(make_decoder_fn(surf_vae), surf_vae_params, (4, 4, 3))
 edge_dec = make_padded_decoder(make_decoder_fn(edge_vae), edge_vae_params, (4, 3))
 
-# generate once, post-process per threshold (thresholds only affect the host side)
-batches = []
-for bi in range(args.sample_batches):
-    out = cascade(jax.random.PRNGKey(5000 + bi))
-    batches.append({k: np.asarray(v) for k, v in out.items()})
-if args.dump:
-    os.makedirs(args.out, exist_ok=True)
-    np.savez_compressed(
-        os.path.join(args.out, "batches.npz"),
-        **{f"{k}__{bi}": v for bi, b in enumerate(batches)
-           for k, v in b.items()})
+CLASS_NAMES = {0: "uncond", 1: "cuboid", 2: "prism", 3: "cylinder"}
 
-for z_thr in args.z_thresholds:
-    save_dir = os.path.join(args.out, f"z{z_thr}")
+
+def generate(cfg, key_base, dump_path=None):
+    """Build one cascade + generate sample_batches of raw outputs."""
+    cascade = build_cascade(
+        nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
+        make_decoder_fn(edge_vae), edge_vae_params, cfg,
+    )
+    batches = []
+    for bi in range(args.sample_batches):
+        out = cascade(jax.random.PRNGKey(key_base + bi))
+        batches.append({k: np.asarray(v) for k, v in out.items()})
+    if dump_path:
+        os.makedirs(os.path.dirname(dump_path), exist_ok=True)
+        np.savez_compressed(
+            dump_path,
+            **{f"{k}__{bi}": v for bi, b in enumerate(batches)
+               for k, v in b.items()})
+    return batches
+
+
+def postprocess(batches, z_thr, save_dir, extra):
     os.makedirs(save_dir, exist_ok=True)
     produced, attempted, failures = 0, 0, {}
     recovered_rungs = {}
     error_samples = []
+    face_counts = []
     t0 = time.time()
     for sample_np in batches:
-        for b in range(cfg.batch_size):
+        face_counts += [int(c) for c in (~sample_np["surf_mask"]).sum(1)]
+        for b in range(sample_np["surf_mask"].shape[0]):
             attempted += 1
             name, err = process_one(sample_np, b, surf_dec, edge_dec, z_thr,
                                     save_dir, args.recover)
@@ -118,6 +139,7 @@ for z_thr in args.z_thresholds:
                     error_samples.append(err[:240])
     n_rec = sum(recovered_rungs.values())
     print(json.dumps({
+        **extra,
         "z_threshold": z_thr,
         "attempted": attempted,
         "valid_breps": produced,
@@ -125,7 +147,44 @@ for z_thr in args.z_thresholds:
         "recovered": recovered_rungs,
         "validity": round(produced / attempted, 3),
         "validity_strict": round((produced - n_rec) / attempted, 3),
+        "dedup_face_counts": face_counts[:64],
         "failures": failures,
         "error_samples": error_samples,
         "postprocess_s": round(time.time() - t0, 1),
     }), flush=True)
+
+
+if args.cf:
+    # per-(class, guidance weight) sampling: conditioning fidelity +
+    # guidance sweep evidence (reference CFG w=0.6, sample.py:132-134)
+    for w in args.cfg_weights:
+        for cls in args.classes:
+            cfg = CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE,
+                                use_cf=True, class_label=cls, cfg_weight=w)
+            batches = generate(
+                cfg, 5000 + 100 * cls + int(w * 10) * 1000,
+                dump_path=(os.path.join(
+                    args.out, f"w{w:g}", CLASS_NAMES[cls], "batches.npz")
+                    if args.dump else None))
+            for z_thr in args.z_thresholds:
+                postprocess(
+                    batches, z_thr,
+                    os.path.join(args.out, f"w{w:g}", CLASS_NAMES[cls]),
+                    {"class": CLASS_NAMES[cls], "cfg_weight": w})
+else:
+    # generate once, post-process per threshold (thresholds are host-side)
+    if args.from_dump:
+        raw = np.load(args.from_dump)
+        n_b = 1 + max(int(k.rsplit("__", 1)[1]) for k in raw.files)
+        batches = [
+            {k.rsplit("__", 1)[0]: raw[k]
+             for k in raw.files if k.endswith(f"__{bi}")}
+            for bi in range(n_b)
+        ]
+    else:
+        batches = generate(
+            CascadeConfig(batch_size=16, num_surfaces=NF, num_edges=NE), 5000,
+            dump_path=(os.path.join(args.out, "batches.npz")
+                       if args.dump else None))
+    for z_thr in args.z_thresholds:
+        postprocess(batches, z_thr, os.path.join(args.out, f"z{z_thr}"), {})

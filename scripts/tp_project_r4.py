@@ -16,14 +16,24 @@ of 312 TF/s peak each, matching the reference's --gpu 0 1 launch
 model, so they get measured steps/s + projection only, no A100 estimate.
 
 Pure host python -- no jax import, safe to run while a TPU job is live.
+
+Accepts MULTIPLE logs; a later log's section for the same stage REPLACES
+the earlier one (so a re-measured leg supersedes a stale/truncated one).
+Round-5 ADVICE fixes: surfpos projects at the reference's actual batch
+512 (train_ldm.sh passes no --batch_size for surfpos; utils.py:189
+defaults to 512); steady ms/step is the MEDIAN of post-compile windows
+(min was best-case-biased); single-window stages are flagged
+low-confidence; a non-empty "incomplete" list is loudly flagged so a
+partial sweep can't be read as a full-recipe projection.
 """
 
 import json
 import math
 import re
+import statistics
 import sys
 
-LOG = sys.argv[1] if len(sys.argv) > 1 else "artifacts/train_tp_r4.log"
+LOGS = sys.argv[1:] or ["artifacts/train_tp_r4.log"]
 
 N_TRAIN = 161_240  # DeepCAD train UIDs (train_val_test_split.json);
 # 6-bit CAD dedup only shrinks this, so projections are upper bounds.
@@ -38,7 +48,7 @@ N_EDGE_ASSUMED = 2_000_000
 RECIPE = {
     "surf_vae@512": (512, 400, N_SURF_ASSUMED, None, None, None, False),
     "edge_vae@512": (512, 400, N_EDGE_ASSUMED, None, None, None, False),
-    "surfpos@256": (256, 3000, N_TRAIN, 30, (6,), 6, False),
+    "surfpos@512": (512, 3000, N_TRAIN, 30, (6,), 6, False),
     "surfz@256": (256, 3000, N_TRAIN, 30, (48, 6), 48, False),
     "edgepos@128": (128, 1000, N_TRAIN, 600, (6, 6, 48), 6, True),
     "edgez@128": (128, 1000, N_TRAIN, 600, (12, 6, 6, 6, 48), 18, True),
@@ -77,15 +87,24 @@ def parse_windows(path):
 
 
 def main():
-    windows = parse_windows(LOG)
+    windows = {}
+    for log in LOGS:
+        for stage, w in parse_windows(log).items():
+            if w:  # later logs replace earlier sections (re-measured legs)
+                windows[stage] = w
     rows, total_chip_s, total_a100_s, ldm_chip_s, ldm_a100_s = [], 0, 0, 0, 0
-    incomplete = []
+    incomplete, low_confidence = [], []
     for stage, (bs, epochs, n, seq, streams, out_dim, remat) in RECIPE.items():
         w = windows.get(stage, [])
         if not w:
             incomplete.append(stage)
             continue
-        steady_ms = min(w) if len(w) == 1 else min(w[1:])
+        if len(w) == 1:
+            # the only window may straddle the compile; flag, don't trust
+            low_confidence.append(stage)
+            steady_ms = w[0]
+        else:
+            steady_ms = statistics.median(w[1:])
         steps_s = 1000.0 / steady_ms
         steps_total = epochs * math.ceil(n / bs)
         chip_s = steps_total * steady_ms / 1000.0
@@ -119,9 +138,10 @@ def main():
         rows.append(row)
 
     summary = {
-        "log": LOG,
+        "logs": LOGS,
         "stages": rows,
         "incomplete": incomplete,
+        "low_confidence": low_confidence,
         "ldm_recipe_chip_hours": round(ldm_chip_s / 3600, 1),
         "ldm_recipe_v5e8_hours": round(ldm_chip_s / 3600 / 8, 1),
         "ldm_recipe_a100x2_hours_est": round(ldm_a100_s / 3600, 1),
@@ -129,6 +149,11 @@ def main():
         "full_recipe_v5e8_hours": round(total_chip_s / 3600 / 8, 1),
         "notes": {
             "n_train": N_TRAIN,
+            "edge_vae_aug_omitted": (
+                "the edge_vae@512 leg trains without --data_aug (the "
+                "reference train_vae.sh uses it); its ms/step may "
+                "slightly understate host cost — it is <1% of the "
+                "recipe's chip time either way"),
             "vae_set_sizes_assumed": [N_SURF_ASSUMED, N_EDGE_ASSUMED],
             "a100_model": f"{A100_GPUS}xA100 AMP @ {A100_EFF:.0%} of "
                           f"{A100_PEAK/1e12:.0f} TF/s (first-principles, "
@@ -137,6 +162,13 @@ def main():
                             "(test_parallel certifies grad equivalence)",
         },
     }
+    if incomplete:
+        print(f"WARNING: sweep INCOMPLETE — missing stages {incomplete}; "
+              "the recipe totals below omit them and must NOT be quoted "
+              "as full-recipe numbers.", file=sys.stderr)
+    if low_confidence:
+        print(f"WARNING: single-window stages (low confidence): "
+              f"{low_confidence}", file=sys.stderr)
     print(json.dumps(summary))
 
     # markdown table for BASELINE.md

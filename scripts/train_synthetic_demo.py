@@ -52,7 +52,8 @@ P.add_argument("--out", type=str, default="demo_out")
 P.add_argument("--max_face", type=int, default=10)
 P.add_argument("--max_edge", type=int, default=8)
 P.add_argument("--sample_batches", type=int, default=4)
-P.add_argument("--family", type=str, default="all", choices=["all", "cuboid"])
+P.add_argument("--family", type=str, default="all",
+               choices=["all", "cuboid", "heldout"])
 P.add_argument("--cf", action="store_true",
                help="classifier-free conditioning demo (furniture-mode "
                     "parity): solid kinds cuboid/prism/cylinder are the "
@@ -91,7 +92,7 @@ elif args.family == "cuboid":
     rng0 = np.random.default_rng(0)
     ds = [make_cuboid(*rng0.uniform(0.4, 2.0, 3), uid=f"c{i}") for i in range(args.solids)]
 else:
-    ds = make_dataset(args.solids, seed=0)
+    ds = make_dataset(args.solids, seed=0, family=args.family)
 ds = [d for d in ds if filter_sample(d, NF, NE, 3.0, 0.05)]
 class_ids = None
 if args.cf:

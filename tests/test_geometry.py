@@ -791,3 +791,97 @@ def test_degenerate_toroidal_surface_parses(tmp_path):
     surf = _build_surface(parse_step(path), 5)
     assert isinstance(surf, analytic.Torus)
     assert surf.major_radius == 1.0 and surf.minor_radius == 2.5
+
+
+# ---------------------------------------------------------------------------
+# Independent STEP conformance (VERDICT r4 item 6): the validator shares no
+# code with step_writer/step_reader, so a writer<->reader shared schema bug
+# cannot pass silently. It already caught one real writer bug (shell
+# orientation incoherence, fixed by _coherent_face_flips).
+# ---------------------------------------------------------------------------
+
+
+def _export_step(maker, tmp_path, name="c.step"):
+    data = maker()
+    solid = construct_brep(
+        data["surf_wcs"], data["edge_wcs"], data["faceEdge_adj"],
+        data["edgeCorner_adj"]
+    )
+    path = str(tmp_path / name)
+    solid.write_step(path)
+    return path
+
+
+@pytest.mark.parametrize(
+    "maker",
+    [make_cuboid, lambda: make_prism(6), make_cylinder,
+     lambda: __import__("brepgen_tpu.data.synthetic", fromlist=["x"]).make_lblock(),
+     lambda: __import__("brepgen_tpu.data.synthetic", fromlist=["x"]).make_frustum()],
+)
+def test_step_conformance_pass(tmp_path, maker):
+    from brepgen_tpu.geometry.step_conformance import validate_step_file
+
+    path = _export_step(maker, tmp_path)
+    assert validate_step_file(path) == []
+
+
+def test_step_conformance_catches_mutations(tmp_path):
+    """Every mutation class the validator exists to catch must be caught."""
+    import re as _re
+
+    from brepgen_tpu.geometry.step_conformance import validate_step_text
+
+    text = open(_export_step(make_cuboid, tmp_path)).read()
+    assert validate_step_text(text) == []
+
+    # (a) flip one ORIENTED_EDGE orientation -> same-direction traversal
+    oe = _re.search(r"#\d+=ORIENTED_EDGE\('',\*,\*,#\d+,(\.[TF]\.)\);", text)
+    flipped = text[:oe.start(1)] + (
+        ".F." if oe.group(1) == ".T." else ".T.") + text[oe.end(1):]
+    errs = validate_step_text(flipped)
+    assert any("SAME direction" in e or "not vertex-connected" in e
+               for e in errs), errs
+
+    # (b) dangling reference
+    mut = _re.sub(r"#(\d+)=CLOSED_SHELL\('',\(#(\d+)",
+                  lambda m: f"#{m.group(1)}=CLOSED_SHELL('',(#99999", text, 1)
+    assert any("dangling" in e for e in validate_step_text(mut))
+
+    # (c) corrupt a knot multiplicity -> knot law violation
+    m = _re.search(r"B_SPLINE_CURVE_WITH_KNOTS\('',3,(\([^)]*\)),"
+                   r"\.UNSPECIFIED\.,\.F\.,\.F\.,\((\d+)", text)
+    mut = text[:m.start(2)] + str(int(m.group(2)) + 1) + text[m.end(2):]
+    assert any("knot law" in e for e in validate_step_text(mut))
+
+    # (d) drop a face from the shell -> edges used once
+    m = _re.search(r"CLOSED_SHELL\('',\(#(\d+),", text)
+    mut = text[:m.start()] + "CLOSED_SHELL('',(" + text[m.end():]
+    assert any("used 1x" in e for e in validate_step_text(mut))
+
+    # (e) two outer bounds on one face
+    mut = text.replace("FACE_BOUND(", "FACE_OUTER_BOUND(")
+    text2 = _export_step(make_cylinder, tmp_path, "c2.step")
+    # cuboid has no inner bounds; check on a file that parses either way:
+    errs = validate_step_text(
+        open(text2).read().replace("FACE_OUTER_BOUND(", "FACE_BOUND(", 1))
+    assert any("FACE_OUTER_BOUND" in e for e in errs)
+
+    # (f) truncated envelope
+    assert validate_step_text(text.replace("END-ISO-10303-21;", ""))
+
+
+def test_step_conformance_on_geometric_fallback(tmp_path):
+    """The geometry-only GEOMETRIC_SET fallback must also parse clean
+    (grammar + refs; no shell topology to check)."""
+    from brepgen_tpu.geometry.step_conformance import validate_step_file
+    from brepgen_tpu.geometry.bspline import fit_bspline_curve, fit_bspline_surface
+    from brepgen_tpu.geometry.step_writer import write_step
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 1, 8),
+                         indexing="ij")
+    surf = fit_bspline_surface(np.stack([gx, gy, gx * gy], -1), n_ctrl=6)
+    curve = fit_bspline_curve(
+        np.stack([np.linspace(0, 1, 8), np.zeros(8), np.zeros(8)], -1))
+    path = str(tmp_path / "g.step")
+    write_step(path, [surf], [curve])
+    assert validate_step_file(path) == []
