@@ -15,6 +15,7 @@ Usage:
 import argparse
 import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -105,20 +106,33 @@ def heldout_clouds(out_dir: str) -> int:
 
 sub = args.cls or ""
 tag = sub + (f"_vs_{args.vs}" if args.vs and args.vs != args.cls else "")
-fake_ply = os.path.join(args.run, "fake_ply" + (f"_{sub}" if sub else ""))
+if args.samples_dir:
+    # clouds live NEXT TO their STL source: a run dir scored for several
+    # sample sets (e.g. the CFG guidance sweep's w0/w0.6/w1.2 per class)
+    # must not share one fake_ply dir — _load_clouds reads EVERY .ply in
+    # the folder, so stale clouds from another sweep leg would leak in
+    fake_ply = args.samples_dir.rstrip("/") + "_fake_ply"
+else:
+    fake_ply = os.path.join(args.run, "fake_ply" + (f"_{sub}" if sub else ""))
 real_ply = os.path.join(
     args.run, "heldout_ply" + (f"_{HELD_KIND}" if HELD_KIND else ""))
 stl_dir = args.samples_dir or os.path.join(args.run, "samples", sub)
+if os.path.isdir(fake_ply):
+    shutil.rmtree(fake_ply)  # never score a stale/mixed cloud set
 n_fake = sample_points_dir(stl_dir, fake_ply)
 n_real = heldout_clouds(real_ply)
 print(f"clouds: {n_fake} fake vs {n_real} held-out", flush=True)
 if n_fake == 0:
     print(json.dumps({"error": "no valid samples to score"}))
     sys.exit(1)
+out_txt = (
+    args.samples_dir.rstrip("/") + f"_metrics{'_vs_' + args.vs if args.vs and args.vs != args.cls else ''}.txt"
+    if args.samples_dir
+    else os.path.join(args.run, f"metrics_results{'_' + tag if tag else ''}.txt")
+)
 avg = run_metrics(
     fake_ply, real_ply, n_test=n_real, multi=1, times=args.times, seed=0,
-    output=os.path.join(
-        args.run, f"metrics_results{'_' + tag if tag else ''}.txt"),
+    output=out_txt,
 )
 avg["n_fake_clouds"] = n_fake
 avg["n_heldout"] = n_real
