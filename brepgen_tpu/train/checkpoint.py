@@ -84,5 +84,24 @@ def load_params(path: str, template=None):
         return traverse_util.unflatten_dict(
             {tuple(k.split("/")): raw[k] for k in raw.files})
     ckptr = ocp.StandardCheckpointer()
-    target = {"params": template} if template is not None else None
-    return ckptr.restore(path, target)["params"]
+    if template is not None:
+        return ckptr.restore(path, {"params": template})["params"]
+    try:
+        return ckptr.restore(path, None)["params"]
+    except ValueError:
+        # Template-less restore replays the SAVED shardings, which name the
+        # device the checkpoint was written on — restoring a TPU-written
+        # tree in a CPU process (pack_ckpt.py) raises "Device ... was not
+        # found in jax.local_devices()". Rebuild an abstract target from
+        # the checkpoint's own metadata with a local-device sharding.
+        import jax
+
+        meta = ckptr.metadata(path)
+        meta = getattr(meta, "tree", meta)
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+        )
+        return ckptr.restore(path, target)["params"]

@@ -302,7 +302,7 @@ error_samples = []
 def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
     """One cascade build + n_batches of generation + postprocess; returns
     (valid B-reps produced, per-sample dedup'd face counts)."""
-    global produced, attempted
+    global produced, attempted, recovered
     cascade = build_cascade(
         nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
         make_decoder_fn(edge_vae), edge_vae_params, cfg,
