@@ -77,11 +77,15 @@ def get_args(argv=None):
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace dir (captures steps 10-30 of "
                         "epoch 1; view with TensorBoard/xprof)")
-    p.add_argument("--remat", choices=("auto", "on", "off"), default="auto",
+    p.add_argument("--remat", choices=("auto", "on", "off", "dots"),
+                   default="auto",
                    help="per-layer activation rematerialization; auto turns "
                         "it on when B x tokens would overflow HBM with "
                         "saved activations (the edge stages at reference "
-                        "batch sizes)")
+                        "batch sizes); 'dots' uses selective checkpointing "
+                        "(save Dense outputs, recompute elementwise + "
+                        "attention) — less recompute than 'on' where the "
+                        "saved dots still fit HBM")
     p.add_argument("--assembly", choices=("batched", "per_sample"),
                    default="batched",
                    help="host batch assembly: one vectorized call per batch "
@@ -227,8 +231,11 @@ def main(argv=None):
 
     small_kw = (dict(width=32, num_heads=2, ffn_width=64, num_layers=1)
                 if args.small else {})
-    remat = (args.remat == "on" or (args.remat == "auto" and auto_remat(
-        args.option, args.batch_size, args.max_face, args.max_edge)))
+    if args.remat == "dots":
+        remat = "dots"
+    else:
+        remat = (args.remat == "on" or (args.remat == "auto" and auto_remat(
+            args.option, args.batch_size, args.max_face, args.max_edge)))
     model = build_denoiser(args.option, use_cf=args.cf, dtype=dtype,
                            remat=remat, **small_kw)
     tables = make_ddpm_tables()

@@ -65,7 +65,7 @@ class DenoiserTransformer(nn.Module):
     label_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: object = False  # False | True ("full") | "dots" (see transformer.py)
 
     def setup(self):
         # attribute names define the param-tree keys; keep them stable

@@ -130,13 +130,24 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    # False = save everything; True/"full" = per-layer recompute (only layer
+    # boundaries live); "dots" = selective checkpointing: save every Dense
+    # output (dot_generals with no batch dims — qkv/proj/fc1/fc2) and
+    # recompute only the cheap elementwise rest + attention (whose probs are
+    # the HBM hog and whose Pallas backward recomputes them blockwise
+    # anyway). "dots" keeps ~60% of the saved-activation footprint of
+    # no-remat while recomputing ~0 matmul FLOPs, vs "full" which recomputes
+    # the entire forward (~1/3 of step FLOPs).
+    remat: object = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
         layer_cls = EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat == "dots" else None)
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,),
+                                 policy=policy)
         for i in range(self.num_layers):
             x = layer_cls(
                 self.width,

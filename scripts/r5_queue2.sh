@@ -51,4 +51,16 @@ leg surfz_cached bash scripts/run_with_retry.sh /tmp/tp_r5/stage2.log \
   --surfvae "$STUBS/surfvae" --edgevae "$STUBS/edgevae"
 cat /tmp/tp_r5/stage2.log >> "$Q" 2>/dev/null
 
+# ---- 4. selective-remat edgez leg (--remat dots): save Dense outputs,
+# recompute only elementwise + attention. Directly comparable to the
+# r5 sweep's full-remat edgez@128 leg (1.43 steps/s); if the saved dots
+# overflow HBM this OOMs, rc!=0, and full remat stays the auto default.
+leg edgez_dots bash scripts/run_with_retry.sh /tmp/tp_r5/stage3.log \
+  python ldm.py --option edgez --batch_size 128 --cache_latents \
+  --remat dots --train_nepoch 40 --env tp_edgez_dots \
+  --synthetic 1024 --max_face 30 --max_edge 20 --bf16 --num_workers 0 \
+  --test_nepoch 9999 --save_nepoch 9999 --dir_name /tmp/tp_r5/proj \
+  --surfvae "$STUBS/surfvae" --edgevae "$STUBS/edgevae"
+cat /tmp/tp_r5/stage3.log >> "$Q" 2>/dev/null
+
 echo "=== r5 queue2 done $(date -u +%H:%M:%S) ===" >> "$Q"
