@@ -203,7 +203,9 @@ def test_remat_preserves_params_and_step():
     opt = make_ldm_optimizer(lr=1e-3)
     tables = make_ddpm_tables()
     outs = []
-    for remat in (False, True):
+    # "dots" = selective checkpointing (save Dense outputs, recompute the
+    # rest) — same grads, different save set, like full remat
+    for remat in (False, True, "dots"):
         model = make_surfpos_net(remat=remat, **SMALL)
         params = model.init(KEY, (batch["surfpos"],), jnp.zeros((8,), jnp.int32))
         state = init_state(params, opt)
@@ -211,11 +213,12 @@ def test_remat_preserves_params_and_step():
         for i in range(3):
             state, m = step(state, batch, jax.random.PRNGKey(i))
         outs.append((params, state.params, float(m["loss"])))
-    (p0, s0, l0), (p1, s1, l1) = outs
-    assert jax.tree.structure(p0) == jax.tree.structure(p1)
-    assert l0 == l1
-    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    p0, s0, l0 = outs[0]
+    for p1, s1, l1 in outs[1:]:
+        assert jax.tree.structure(p0) == jax.tree.structure(p1)
+        assert l0 == l1
+        for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_latent_cache_and_cached_step_equivalence():
