@@ -97,6 +97,10 @@ def load_params(path: str, template=None):
         import jax
 
         meta = ckptr.metadata(path)
+        # Checkpointer.metadata wraps the tree: StepMetadata.item_metadata
+        # is the TreeMetadata, whose .tree is the raw pytree of
+        # ArrayMetadata leaves (orbax 0.11 layering)
+        meta = getattr(meta, "item_metadata", meta)
         meta = getattr(meta, "tree", meta)
         sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         target = jax.tree.map(
