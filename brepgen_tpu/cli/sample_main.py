@@ -171,6 +171,12 @@ def process_one(sample_np, batch_idx, surf_decode, edge_decode, z_threshold, sav
     name = f"{random_string()}_{batch_idx}"
     solid.write_step(os.path.join(save_folder, name + ".step"))
     solid.write_stl(os.path.join(save_folder, name + ".stl"))
+    if not solid.topology_ok():
+        # counted valid (the reference's criterion is surviving postprocess
+        # + rebuild), but the STEP export degrades to a loose GEOMETRIC_SET
+        # instead of a MANIFOLD_SOLID_BREP -- callers report this honestly
+        # as validity vs validity_solid
+        note = f"{note}; nonsolid" if note else "nonsolid"
     return name, note
 
 

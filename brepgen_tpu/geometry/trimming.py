@@ -34,28 +34,37 @@ def order_loops(
 
     Returns loops as lists of (edge_id, forward) where ``forward`` means
     the edge is traversed start->end.
+
+    ``face_edge_ids`` may repeat an edge id: a face can traverse the same
+    unique edge twice (a seam, e.g. a cylinder side wall closing on
+    itself). Each occurrence is walked independently -- a dict keyed by
+    edge id would silently collapse the multiplicity and misreport the
+    wire as an open chain.
     """
-    remaining = {int(e): tuple(int(v) for v in edge_vertex_adj[e]) for e in face_edge_ids}
+    remaining = {
+        slot: (int(e), (int(edge_vertex_adj[e][0]), int(edge_vertex_adj[e][1])))
+        for slot, e in enumerate(face_edge_ids)
+    }
     loops = []
     while remaining:
-        e0, (v0, v1) = next(iter(remaining.items()))
-        del remaining[e0]
+        s0 = next(iter(remaining))
+        e0, (v0, v1) = remaining.pop(s0)
         loop = [(e0, True)]
         current = v1
         start = v0
         while current != start:
             found = False
-            for e, (a, b) in list(remaining.items()):
+            for s, (e, (a, b)) in list(remaining.items()):
                 if a == current:
                     loop.append((e, True))
                     current = b
-                    del remaining[e]
+                    del remaining[s]
                     found = True
                     break
                 if b == current:
                     loop.append((e, False))
                     current = a
-                    del remaining[e]
+                    del remaining[s]
                     found = True
                     break
             if not found:

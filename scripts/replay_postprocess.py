@@ -79,6 +79,47 @@ def endpoints_from_bbox(edge_pos, edge_ncs, edge_mask):
     return out
 
 
+def manifold_audit(face_edge_adj, edge_vertex_adj):
+    """Replicates SolidMesh.topology_ok (geometry/brep_build.py) on the
+    pairing outputs alone -- order each face's edges into loops (the same
+    walk as trimming.order_loops) and require closed chains with every
+    unique edge used by exactly two faces. Returns (ok, reason)."""
+    use = {}
+    for ids in face_edge_adj:
+        # slot-keyed: a face may traverse the same unique edge twice (seam)
+        remaining = {
+            s: (int(e), (int(edge_vertex_adj[e, 0]),
+                         int(edge_vertex_adj[e, 1])))
+            for s, e in enumerate(ids)
+        }
+        if not remaining:
+            return False, "empty face"
+        while remaining:
+            s0 = next(iter(remaining))
+            e0, (v0, v1) = remaining.pop(s0)
+            use[e0] = use.get(e0, 0) + 1
+            current, start = v1, v0
+            while current != start:
+                found = False
+                for s, (e, (a, b)) in list(remaining.items()):
+                    if a == current or b == current:
+                        current = b if a == current else a
+                        del remaining[s]
+                        use[e] = use.get(e, 0) + 1
+                        found = True
+                        break
+                if not found:
+                    return False, "open chain"
+    if not use:
+        return False, "no edges"
+    singles = sum(1 for c in use.values() if c == 1)
+    if singles:
+        return False, f"single-adjacency x{singles}"
+    if any(c != 2 for c in use.values()):
+        return False, "edge used >2"
+    return True, ""
+
+
 def topology_once(sample, b, recovery, face_drops, allow_singletons):
     """vertex merge + edge pairing for one sample (the failing stages)."""
     valid = ~np.asarray(sample["surf_mask"][b])
@@ -97,7 +138,7 @@ def topology_once(sample, b, recovery, face_drops, allow_singletons):
         uv, groups = vertex_merge.detect_shared_vertex(
             edgeV_cad, edge_mask_cad, ebb, recovery=recovery, info=info,
             greedy_closure=5 not in ABLATE)
-        edge_merge.detect_shared_edge(
+        _, _, fea, eva = edge_merge.detect_shared_edge(
             uv, groups, edge_z_cad, surf_z_cad, args.z_threshold,
             edge_mask_cad, recovery=recovery and 4 not in ABLATE, info=info,
             allow_singletons=allow_singletons)
@@ -108,11 +149,13 @@ def topology_once(sample, b, recovery, face_drops, allow_singletons):
     rung = info.get("recovery_rung", 0)
     if info.get("vertex_rescued_faces", 0):
         rung = max(rung, 5)
-    return rung
+    return rung, manifold_audit(fea, eva), info
 
 
 ok, rungs, failures = 0, {}, {}
 attempted = 0
+solid_by_rung = {}     # rung -> [manifold-solid count, nonsolid reasons]
+ladder_actions = {}    # which ladder mechanisms fired, summed over samples
 face_counts = []       # (pre-drop, post-drop) per rung-6 rescue: the
 #                        false-rescue audit compares post-drop counts to
 #                        the generating family's legitimate face counts
@@ -124,14 +167,24 @@ for sample in batches:
         allow_single = False
         for _ in range(4):  # mirror postprocess_single's retry staging
             try:
-                rung = topology_once(sample, b, not args.strict, face_drops,
-                                     allow_single)
+                rung, (solid, why), info = topology_once(
+                    sample, b, not args.strict, face_drops, allow_single)
+                for act in ("unified_vertices", "dropped_edges",
+                            "singleton_edges", "vertex_rescued_faces"):
+                    if info.get(act, 0):
+                        ladder_actions[act] = (
+                            ladder_actions.get(act, 0) + info[act])
                 if face_drops:
                     rung = 6
                     n_valid = int((~np.asarray(sample["surf_mask"][b])).sum())
                     face_counts.append([n_valid, n_valid - len(face_drops)])
                 ok += 1
                 rungs[rung] = rungs.get(rung, 0) + 1
+                ent = solid_by_rung.setdefault(rung, [0, {}])
+                if solid:
+                    ent[0] += 1
+                else:
+                    ent[1][why] = ent[1].get(why, 0) + 1
                 break
             except Exception as e:  # noqa: BLE001 -- full taxonomy wanted
                 info = getattr(e, "pairing_info", None)
@@ -160,6 +213,11 @@ print(json.dumps({
     "ablated_rungs": sorted(ABLATE),
     "topology_ok": ok,
     "rungs": {str(k): v for k, v in sorted(rungs.items())},
+    "manifold_solid_by_rung": {
+        str(k): {"solid": v[0], "nonsolid": v[1]}
+        for k, v in sorted(solid_by_rung.items())
+    },
     "rung6_face_counts_pre_post": face_counts,
+    "ladder_actions": ladder_actions,
     "failures": failures,
 }, indent=2))

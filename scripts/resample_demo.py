@@ -119,6 +119,7 @@ def postprocess(batches, z_thr, save_dir, extra):
     os.makedirs(save_dir, exist_ok=True)
     produced, attempted, failures = 0, 0, {}
     recovered_rungs = {}
+    n_nonsolid = 0
     error_samples = []
     face_counts = []
     t0 = time.time()
@@ -130,8 +131,12 @@ def postprocess(batches, z_thr, save_dir, extra):
                                     save_dir, args.recover)
             if name is not None:
                 produced += 1
-                if err:  # "recovered: rung N"
-                    recovered_rungs[err] = recovered_rungs.get(err, 0) + 1
+                if err and "nonsolid" in err:  # GEOMETRIC_SET fallback
+                    n_nonsolid += 1
+                if err and err.startswith("recovered"):
+                    rung_key = err.split(";")[0]
+                    recovered_rungs[rung_key] = (
+                        recovered_rungs.get(rung_key, 0) + 1)
             else:
                 k_ = err.split(":")[0]
                 failures[k_] = failures.get(k_, 0) + 1
@@ -144,9 +149,11 @@ def postprocess(batches, z_thr, save_dir, extra):
         "attempted": attempted,
         "valid_breps": produced,
         "valid_strict": produced - n_rec,
+        "valid_solid": produced - n_nonsolid,
         "recovered": recovered_rungs,
         "validity": round(produced / attempted, 3),
         "validity_strict": round((produced - n_rec) / attempted, 3),
+        "validity_solid": round((produced - n_nonsolid) / attempted, 3),
         "dedup_face_counts": face_counts[:64],
         "failures": failures,
         "error_samples": error_samples,

@@ -293,7 +293,7 @@ from brepgen_tpu.cli.sample_main import make_padded_decoder, process_one
 surf_dec = make_padded_decoder(make_decoder_fn(surf_vae), surf_vae_params, (4, 4, 3))
 edge_dec = make_padded_decoder(make_decoder_fn(edge_vae), edge_vae_params, (4, 3))
 
-produced, attempted, recovered = 0, 0, 0
+produced, attempted, recovered, nonsolid = 0, 0, 0, 0
 failures = {}
 recovery_rungs = {}
 error_samples = []
@@ -302,7 +302,7 @@ error_samples = []
 def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
     """One cascade build + n_batches of generation + postprocess; returns
     (valid B-reps produced, per-sample dedup'd face counts)."""
-    global produced, attempted, recovered
+    global produced, attempted, recovered, nonsolid
     cascade = build_cascade(
         nets, net_params, make_decoder_fn(surf_vae), surf_vae_params,
         make_decoder_fn(edge_vae), edge_vae_params, cfg,
@@ -331,9 +331,13 @@ def sample_run(cfg, save_dir, n_batches, key_base, tag, plots):
             if name is not None:
                 produced += 1
                 run_prod += 1
-                if err:  # "recovered: rung N"
+                if err and "nonsolid" in err:  # GEOMETRIC_SET fallback
+                    nonsolid += 1
+                if err and err.startswith("recovered"):
                     recovered += 1
-                    recovery_rungs[err] = recovery_rungs.get(err, 0) + 1
+                    rung_key = err.split(";")[0]
+                    recovery_rungs[rung_key] = (
+                        recovery_rungs.get(rung_key, 0) + 1)
             else:
                 k_ = err.split(":")[0]
                 failures[k_] = failures.get(k_, 0) + 1
@@ -375,6 +379,7 @@ summary["error_samples"] = error_samples
 summary["attempted"] = attempted
 summary["valid_breps"] = produced
 summary["valid_strict"] = produced - recovered
+summary["valid_solid"] = produced - nonsolid
 summary["recovery_rungs"] = recovery_rungs
 summary["failures"] = failures
 summary["wall_minutes"] = round((time.time() - t_start) / 60, 1)

@@ -55,6 +55,19 @@ def test_order_loops_cylinder_cap():
     assert len(loops) == 1 and len(loops[0]) == 2
 
 
+def test_order_loops_seam_multiplicity():
+    """A face may traverse the SAME unique edge twice (a seam: e.g. a
+    cylinder wall closing on itself after edge pairing unifies the two
+    seam copies). The walk must honour the multiplicity -- a dict keyed
+    by edge id used to collapse the repeat and misreport an open chain."""
+    # face wire: v0 -e0-> v1 -e1-> v0 -e0-> v1 -e2-> v0  (e0 used twice)
+    edge_vertex_adj = np.array([[0, 1], [1, 0], [1, 0]])
+    loops = order_loops([0, 1, 0, 2], edge_vertex_adj)
+    assert sum(len(l) for l in loops) == 4
+    used = sorted(e for loop in loops for e, _ in loop)
+    assert used == [0, 0, 1, 2]
+
+
 @pytest.mark.parametrize("maker", [make_cuboid, lambda: make_prism(6), make_cylinder])
 def test_construct_brep_and_export(tmp_path, maker):
     data = maker()
