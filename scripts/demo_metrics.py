@@ -5,8 +5,12 @@ quality row: 2000-pt clouds from the run's exported STLs vs held-out
 same-family solids (generated with a seed disjoint from the training
 dataset's seed 0), through the corrected per-point-JSD / MMD / COV
 protocol (reference ``pc_metric.py:98-192,287-351``; oracles in
-``tests/test_eval.py``). Runs on CPU so it can score a finished run
-while the chip trains the next one.
+``tests/test_eval.py``). Defaults to CPU so it can score a finished run
+while the chip trains the next one; pass ``--device tpu`` for large
+cloud sets (the 256x256x3-repeat chamfer matrix is hours on the one
+host core but minutes on the chip — BASELINE.md "Eval-protocol chamfer
+at scale"). Only use --device tpu when nothing else is on the chip
+(CLAUDE.md one-jax-process rule).
 
 Usage:
   python scripts/demo_metrics.py --run artifacts/demo_round3/all160k --family all
@@ -20,9 +24,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --device must be parsed before the first jax device touch
+_device = "cpu"
+if "--device" in sys.argv:
+    _device = sys.argv[sys.argv.index("--device") + 1]
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _device == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -44,6 +54,9 @@ P.add_argument("--vs", default=None, choices=["cuboid", "prism", "cylinder"],
 P.add_argument("--samples_dir", default=None,
                help="explicit STL directory (overrides RUN/samples[/<cls>]"
                     "; e.g. a resample_demo --cf output RUN/w0.6/<cls>)")
+P.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+               help="tpu = score on the default (axon) backend; use for "
+                    "large cloud sets when the chip is otherwise idle")
 args = P.parse_args()
 
 from brepgen_tpu.eval.pipeline import N_POINTS, run_metrics, sample_points_dir

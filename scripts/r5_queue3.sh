@@ -65,10 +65,12 @@ leg resample256_strict python scripts/resample_demo.py \
   --z_thresholds 0.2
 ln -sfn z0.2 $R5/resample256/samples
 ln -sfn z0.2 $R5/resample256_strict/samples
+# n=256 chamfer matrices run ON THE CHIP (idle between queue legs):
+# 256x256x3 repeats is hours on the one host core, minutes on-device
 leg metrics_n256_recovered python scripts/demo_metrics.py \
-  --run $R5/resample256 --family all --heldout 256
+  --run $R5/resample256 --family all --heldout 256 --device tpu
 leg metrics_n256_strict python scripts/demo_metrics.py \
-  --run $R5/resample256_strict --family all --heldout 256
+  --run $R5/resample256_strict --family all --heldout 256 --device tpu
 
 # ---- held-out family: ladder generalization (item 5) ----
 leg held160k bash scripts/run_with_retry.sh $R5/held160k.log \
@@ -83,7 +85,7 @@ leg held_resample bash scripts/run_with_retry.sh $R5/held_resample.log \
   --recover --dump
 ln -sfn z0.2 $R5/held_resample/samples
 leg metrics_held python scripts/demo_metrics.py \
-  --run $R5/held_resample --family heldout --heldout 128
+  --run $R5/held_resample --family heldout --heldout 128 --device tpu
 # rung ablations replay offline from the dump (pure numpy, no jax)
 for abl in "" "--strict" "--ablate 6" "--ablate 5" "--ablate 4"; do
   leg "held_replay${abl// /_}" python scripts/replay_postprocess.py \
