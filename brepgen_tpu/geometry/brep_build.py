@@ -45,7 +45,11 @@ class SolidMesh(NamedTuple):
         write_stl(path, self.triangles())
 
     def topology_ok(self) -> bool:
-        """True when loops close and each edge borders exactly two faces."""
+        """True when loops close, each edge borders exactly two faces, and
+        the shell is orientable (some assignment of per-face flips makes
+        every shared edge traversed once in each direction — required for
+        a conformant MANIFOLD_SOLID_BREP; closed edges are exempt because
+        the STEP writer can toggle their direction freely)."""
         if self.vertices is None or self.edge_vertex_adj is None:
             return False
         use = {}
@@ -64,7 +68,14 @@ class SolidMesh(NamedTuple):
                     for i in range(len(ends))
                 ):
                     return False
-        return bool(use) and all(c == 2 for c in use.values())
+        if not (use and all(c == 2 for c in use.values())):
+            return False
+        closed = frozenset(
+            e for e in use
+            if self.edge_vertex_adj[e][0] == self.edge_vertex_adj[e][1]
+        )
+        _, conflicts = step_writer._coherent_face_flips(self.face_loops, closed)
+        return not conflicts
 
     def write_step(self, path: str, name: str = "brepgen_solid") -> None:
         if self.topology_ok():

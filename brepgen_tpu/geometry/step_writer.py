@@ -166,7 +166,9 @@ def write_step(
     _write_file(path, sf, name)
 
 
-def _coherent_face_flips(face_loops) -> List[bool]:
+def _coherent_face_flips(
+    face_loops, free_edges=frozenset()
+) -> Tuple[List[bool], List[int]]:
     """Per-face flip flags making the shell's edge traversals coherent.
 
     A closed 2-manifold shell must traverse every shared edge ONCE IN EACH
@@ -177,8 +179,20 @@ def _coherent_face_flips(face_loops) -> List[bool]:
     nothing about neighbors, so propagate a global orientation: 2-color
     the face graph where an edge shared by faces f,g with stored
     traversal directions t_f,t_g imposes flip_f XOR flip_g == (t_f==t_g).
-    Non-bipartite components (non-orientable/degenerate input) keep their
-    original orientation — the validator will report them.
+
+    ``free_edges`` are edge ids whose traversal direction carries no
+    constraint — closed edges (start vertex == end vertex, e.g. full
+    circles), whose ORIENTED_EDGE flag the writer can toggle locally
+    without breaking any loop chain. They are left out of the constraint
+    graph so a degenerate direction resolution on them cannot frustrate
+    the coloring of the rest of the shell.
+
+    Returns ``(flips, conflicts)``: ``conflicts`` lists the non-free edge
+    ids whose two traversals remain same-direction under the best
+    2-coloring — i.e. the recorded topology is non-orientable (e.g.
+    several faces glued along the same boundary) and NO assignment of
+    whole-face flips can make the shell coherent. Callers should treat a
+    non-empty list as "not exportable as a MANIFOLD_SOLID_BREP".
     """
     uses: Dict[int, List[Tuple[int, bool]]] = {}
     for f, loops in enumerate(face_loops):
@@ -186,16 +200,22 @@ def _coherent_face_flips(face_loops) -> List[bool]:
             for e, fwd in loop:
                 uses.setdefault(int(e), []).append((f, bool(fwd)))
     n = len(face_loops)
-    adj: List[List[Tuple[int, bool]]] = [[] for _ in range(n)]
-    for us in uses.values():
-        if len(us) != 2:
+    adj: List[List[Tuple[int, bool, int]]] = [[] for _ in range(n)]
+    conflicts = set()
+    for e, us in uses.items():
+        if len(us) != 2 or e in free_edges:
             continue
         (f, tf), (g, tg) = us
         if f == g:
-            continue  # both uses inside one face: a flip cannot change parity
+            # both uses inside one face: a flip cannot change parity. A
+            # proper seam traverses the edge once each way; same-direction
+            # is a genuine topology defect.
+            if tf == tg:
+                conflicts.add(e)
+            continue
         parity = tf == tg
-        adj[f].append((g, parity))
-        adj[g].append((f, parity))
+        adj[f].append((g, parity, e))
+        adj[g].append((f, parity, e))
     flips = [None] * n
     for root in range(n):
         if flips[root] is not None:
@@ -204,13 +224,14 @@ def _coherent_face_flips(face_loops) -> List[bool]:
         queue = [root]
         while queue:
             f = queue.pop()
-            for g, parity in adj[f]:
+            for g, parity, e in adj[f]:
                 want = flips[f] ^ parity
                 if flips[g] is None:
                     flips[g] = want
                     queue.append(g)
-                # contradictions (flips[g] != want) are left in place
-    return [bool(x) for x in flips]
+                elif flips[g] != want:
+                    conflicts.add(e)  # odd cycle: non-orientable input
+    return [bool(x) for x in flips], sorted(conflicts)
 
 
 def write_step_brep(
@@ -221,7 +242,7 @@ def write_step_brep(
     vertices: np.ndarray,                    # [V, 3] unique vertex positions
     edge_vertex_adj: np.ndarray,             # [E, 2] vertex ids per edge
     name: str = "brepgen_solid",
-) -> None:
+) -> List[int]:
     """Topological export: trimmed faces sewn into a MANIFOLD_SOLID_BREP.
 
     ``face_loops`` must come from ``order_loops``/``orient_loops_uv`` — each
@@ -230,6 +251,12 @@ def write_step_brep(
     Edge-curve direction is resolved geometrically (the post-processor's
     lexsort canonicalization may store vertex pairs against the curve's
     sampling direction, ref ``dataset.py:522-525``).
+
+    Returns the (normally empty) list of orientation-conflict edge ids
+    from ``_coherent_face_flips`` — non-empty means the input topology is
+    non-orientable and the emitted shell will fail the 2-manifold
+    traversal check. ``SolidMesh.topology_ok`` screens for this before
+    calling, so production exports never hit it.
     """
     sf = _StepFile()
     ctx = _geometry_context(sf)
@@ -258,23 +285,49 @@ def write_step_brep(
         )
 
     # shell-coherent orientation: flipped faces reverse their loops and
-    # carry same_sense=.F. so the face normal (loop x surface) is preserved
-    flips = _coherent_face_flips(face_loops)
+    # carry same_sense=.F. so the face normal (loop x surface) is preserved.
+    # Closed edges (start vertex == end vertex) are excluded from the
+    # constraint graph: their ORIENTED_EDGE flag carries no chain
+    # information, so after the face flips are applied the second of their
+    # two traversals is simply toggled to the opposite direction.
+    closed_edges = frozenset(
+        e for e in used_edges if edge_vertex_adj[e][0] == edge_vertex_adj[e][1]
+    )
+    flips, conflicts = _coherent_face_flips(face_loops, closed_edges)
 
-    face_ids = []
+    # first pass: resolve every traversal flag (mutable: [edge, flag])
+    resolved = []
+    closed_uses: Dict[int, List[List]] = {}
     for f, loops in enumerate(face_loops):
-        sid = _surface_entity(sf, surfaces[f])
-        bound_ids = []
-        for li, loop in enumerate(loops):
+        rloops = []
+        for loop in loops:
+            loop = list(loop)
             if flips[f]:
-                loop = [(e, not fwd) for e, fwd in reversed(list(loop))]
-            oes = []
+                loop = [(e, not fwd) for e, fwd in reversed(loop)]
+            entries = []
             for e, forward in loop:
                 e = int(e)
                 a, b = edge_vertex_adj[e]
                 trav_start = a if forward else b
                 ec_start = a if geo_fwd[e] else b
-                flag = ".T." if trav_start == ec_start else ".F."
+                entry = [e, trav_start == ec_start]
+                entries.append(entry)
+                if e in closed_edges:
+                    closed_uses.setdefault(e, []).append(entry)
+            rloops.append(entries)
+        resolved.append(rloops)
+    for us in closed_uses.values():
+        if len(us) == 2 and us[0][1] == us[1][1]:
+            us[1][1] = not us[1][1]
+
+    face_ids = []
+    for f, rloops in enumerate(resolved):
+        sid = _surface_entity(sf, surfaces[f])
+        bound_ids = []
+        for li, entries in enumerate(rloops):
+            oes = []
+            for e, flag_fwd in entries:
+                flag = ".T." if flag_fwd else ".F."
                 oes.append(sf.add(f"ORIENTED_EDGE('',*,*,#{edge_ent[e]},{flag})"))
             elid = sf.add("EDGE_LOOP('',({}))".format(",".join(f"#{i}" for i in oes)))
             kind = "FACE_OUTER_BOUND" if li == 0 else "FACE_BOUND"
@@ -301,3 +354,4 @@ def write_step_brep(
     )
     _product_skeleton(sf, rep, name)
     _write_file(path, sf, name)
+    return conflicts

@@ -83,8 +83,17 @@ def manifold_audit(face_edge_adj, edge_vertex_adj):
     """Replicates SolidMesh.topology_ok (geometry/brep_build.py) on the
     pairing outputs alone -- order each face's edges into loops (the same
     walk as trimming.order_loops) and require closed chains with every
-    unique edge used by exactly two faces. Returns (ok, reason)."""
+    unique edge used by exactly two faces, AND an orientable gluing (a
+    2-colorable flip-constraint graph, mirroring
+    step_writer._coherent_face_flips; closed edges a==b are exempt because
+    the STEP writer toggles their direction freely). The coloring here is
+    per-LOOP, not per-face (the walk has no UV data to relate a face's
+    inner loops to its outer one), so it is slightly more permissive than
+    topology_ok on multi-loop faces -- the on-chip check is the authority.
+    Returns (ok, reason)."""
     use = {}
+    uses_dir = {}  # edge -> [(loop_id, traversed a->b?)]
+    loop_id = 0
     for ids in face_edge_adj:
         # slot-keyed: a face may traverse the same unique edge twice (seam)
         remaining = {
@@ -98,18 +107,22 @@ def manifold_audit(face_edge_adj, edge_vertex_adj):
             s0 = next(iter(remaining))
             e0, (v0, v1) = remaining.pop(s0)
             use[e0] = use.get(e0, 0) + 1
+            uses_dir.setdefault(e0, []).append((loop_id, True))
             current, start = v1, v0
             while current != start:
                 found = False
                 for s, (e, (a, b)) in list(remaining.items()):
                     if a == current or b == current:
-                        current = b if a == current else a
+                        fwd = a == current
+                        current = b if fwd else a
                         del remaining[s]
                         use[e] = use.get(e, 0) + 1
+                        uses_dir.setdefault(e, []).append((loop_id, fwd))
                         found = True
                         break
                 if not found:
                     return False, "open chain"
+            loop_id += 1
     if not use:
         return False, "no edges"
     singles = sum(1 for c in use.values() if c == 1)
@@ -117,6 +130,36 @@ def manifold_audit(face_edge_adj, edge_vertex_adj):
         return False, f"single-adjacency x{singles}"
     if any(c != 2 for c in use.values()):
         return False, "edge used >2"
+    # orientability: flip_f XOR flip_g == (t_f == t_g) per shared edge
+    graph = {}
+    for e, us in uses_dir.items():
+        if len(us) != 2:
+            continue
+        if int(edge_vertex_adj[e, 0]) == int(edge_vertex_adj[e, 1]):
+            continue  # closed edge: direction is writer-fixable
+        (f, tf), (g, tg) = us
+        if f == g:
+            if tf == tg:
+                return False, "non-orientable (seam same-direction)"
+            continue
+        parity = tf == tg
+        graph.setdefault(f, []).append((g, parity))
+        graph.setdefault(g, []).append((f, parity))
+    color = {}
+    for root in list(graph):
+        if root in color:
+            continue
+        color[root] = False
+        queue = [root]
+        while queue:
+            f = queue.pop()
+            for g, parity in graph[f]:
+                want = color[f] ^ parity
+                if g not in color:
+                    color[g] = want
+                    queue.append(g)
+                elif color[g] != want:
+                    return False, "non-orientable"
     return True, ""
 
 

@@ -898,3 +898,87 @@ def test_step_conformance_on_geometric_fallback(tmp_path):
     path = str(tmp_path / "g.step")
     write_step(path, [surf], [curve])
     assert validate_step_file(path) == []
+
+
+def test_step_writer_closed_edge_orientation(tmp_path):
+    """Two caps sharing one CLOSED edge (start vertex == end vertex).
+
+    The geometric direction resolution (distance from the curve's start
+    to each endpoint) is a tie on a closed edge, so the pre-round-5
+    writer emitted BOTH traversals as .T. — seen in 3/585 round-5 demo
+    exports, all recovered prisms with a merged-endpoint edge, flagged by
+    the independent validator. The writer now excludes closed edges from
+    the flip-constraint graph and toggles the second traversal locally
+    (chain-safe: both endpoints are the same vertex)."""
+    from brepgen_tpu.geometry.bspline import fit_bspline_curve, fit_bspline_surface
+    from brepgen_tpu.geometry.step_conformance import validate_step_file
+    from brepgen_tpu.geometry.step_writer import write_step_brep
+
+    t = np.linspace(0, 2 * np.pi, 32)
+    circle = np.stack([np.cos(t), np.sin(t), np.zeros_like(t)], -1)
+    curve = fit_bspline_curve(circle)
+    caps = []
+    for sign in (1.0, -1.0):
+        r, th = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 2 * np.pi, 8),
+                            indexing="ij")
+        pts = np.stack(
+            [r * np.cos(th), r * np.sin(th), sign * (1 - r**2)], -1)
+        caps.append(fit_bspline_surface(pts, n_ctrl=6))
+    vertices = circle[[0]]
+    adj = np.array([[0, 0]])
+    loops = [[[(0, True)]], [[(0, True)]]]  # both claim the same direction
+    path = str(tmp_path / "caps.step")
+    conflicts = write_step_brep(path, caps, [curve], loops, vertices, adj)
+    assert conflicts == []
+    assert validate_step_file(path) == []
+
+
+def test_nonorientable_shell_degrades_to_geometric_set(tmp_path):
+    """Faces pairwise glued along the SAME quad boundary via duplicated
+    edge curves — the recovery ladder emitted this once in 585 round-5
+    exports. The flip-constraint graph is K4 (every pair of faces must
+    flip relative to the other): no whole-face flip assignment can orient
+    the shell, so ``topology_ok`` must reject it and ``write_step`` must
+    degrade to the conformant GEOMETRIC_SET export instead of emitting a
+    non-manifold MANIFOLD_SOLID_BREP."""
+    from brepgen_tpu.geometry.bspline import fit_bspline_curve, fit_bspline_surface
+    from brepgen_tpu.geometry.brep_build import SolidMesh
+    from brepgen_tpu.geometry.step_conformance import validate_step_file
+    from brepgen_tpu.geometry.step_writer import _coherent_face_flips
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    #      e0:(C,D)  e1:(A,D)  e2:(B,C)  e3:(B,A)
+    #      e4:(A,D)  e5:(B,C)  e6:(C,D)  e7:(A,B)   (duplicate geometry)
+    adj = np.array([[2, 3], [0, 3], [1, 2], [1, 0],
+                    [0, 3], [1, 2], [2, 3], [0, 1]])
+    curves = [
+        fit_bspline_curve(np.linspace(verts[a], verts[b], 8))
+        for a, b in adj
+    ]
+    face_loops = [
+        [[(0, True), (1, False), (3, False), (2, True)]],
+        [[(5, True), (6, True), (4, False), (3, False)]],
+        [[(5, True), (6, True), (1, False), (7, True)]],
+        [[(7, True), (2, True), (0, True), (4, False)]],
+    ]
+    gx, gy = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 1, 8),
+                         indexing="ij")
+    surfaces = [
+        fit_bspline_surface(
+            np.stack([gx, gy, np.full_like(gx, 0.01 * k)], -1), n_ctrl=6)
+        for k in range(4)
+    ]
+    _, conflicts = _coherent_face_flips(face_loops)
+    assert conflicts, "K4 constraint graph must be detected as frustrated"
+
+    solid = SolidMesh(
+        surfaces=surfaces, curves=curves,
+        face_triangles=[np.zeros((0, 3, 3))] * 4,
+        face_loops=face_loops, vertices=verts, edge_vertex_adj=adj,
+    )
+    assert not solid.topology_ok()
+    path = str(tmp_path / "frustrated.step")
+    solid.write_step(path)
+    text = open(path).read()
+    assert "MANIFOLD_SOLID_BREP" not in text and "GEOMETRIC_SET" in text
+    assert validate_step_file(path) == []
