@@ -10,17 +10,22 @@ cd "$(dirname "$0")/.."
 LOG=artifacts/drill_r5.log
 : > "$LOG"
 ROOT=/tmp/drill_r5
-STUBS=$ROOT/vae_stubs
-# 6k default: the drill's pass criterion is steps/s parity with the
-# synthetic probes, which saturates well below 10k items; keeps the
-# serial round-5 queue clear of the driver's end-of-round bench window
-N=${BREPGEN_DRILL_N:-6000}
+# stubs live OUTSIDE the tree root so a tree rebuild doesn't redo the
+# ~10 min stub prep
+STUBS=/tmp/drill_stubs
+# 12k default (two reference-convention shards): the drill's pass
+# criterion is steps/s parity with the synthetic probes, which saturates
+# well below 161k items; keeps the serial round-5 queue clear of the
+# driver's end-of-round bench window
+N=${BREPGEN_DRILL_N:-12000}
 
 say() { echo "=== $1 ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"; }
 
 say "tree n=$N"
 rm -rf "$ROOT" && mkdir -p "$ROOT"
-python scripts/make_drill_tree.py "$ROOT" "$N" >> "$LOG" 2>&1
+# shard_size MUST be 10000: uid_to_path (cli/build.py) re-derives the
+# shard from the numeric uid by the DeepCAD convention (dataset.py:94-100)
+python scripts/make_drill_tree.py "$ROOT" "$N" 10000 >> "$LOG" 2>&1
 
 say dedup_cad
 REPO=$PWD
@@ -29,7 +34,11 @@ REPO=$PWD
     --split_json train_val_test_split.json ) >> "$LOG" 2>&1
 
 say vae_stubs
-python scripts/tp_prep_r4.py "$STUBS" >> "$LOG" 2>&1
+if [ ! -d "$STUBS/surfvae" ]; then
+  python scripts/tp_prep_r4.py "$STUBS" >> "$LOG" 2>&1
+else
+  echo "reusing $STUBS" >> "$LOG"
+fi
 
 COMMON="--data $ROOT/deepcad_parsed --list $ROOT/deepcad_data_split_6bit.pkl
         --max_face 30 --max_edge 20 --bf16 --num_workers 0
