@@ -157,7 +157,8 @@ def _postprocess_once(
         edge_vertex_adj, face_edge_adj, len(edge_ncs), len(surf_ncs),
     )
     rung = info.get("recovery_rung", 0)
-    if info.get("vertex_rescued_faces", 0):
-        rung = max(rung, 5)  # loop-closure rescue (vertex_merge.py rung 5)
+    if info.get("vertex_rescued_faces", 0) or info.get(
+            "chained_proximity_merges", 0):
+        rung = max(rung, 5)  # vertex-stage rescue (vertex_merge.py rung 5)
     return RecoveredBrep(surf_wcs, edge_wcs, face_edge_adj, edge_vertex_adj,
                          unique_vertices, rung)

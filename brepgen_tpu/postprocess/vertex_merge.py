@@ -94,6 +94,53 @@ def _keep_largest(groups: List[List[int]]) -> List[List[int]]:
     return out
 
 
+def proximity_remerge(
+    total_ids: List[List[int]],
+    flat: np.ndarray,
+    recovery: bool = False,
+    info: dict = None,
+) -> List[List[int]]:
+    """Re-merge vertex groups whose centers are < 0.1 apart (deep
+    T-junctions).
+
+    When a group sits within 0.1 of TWO others (a chain of close
+    centers), the reference's pairwise update (utils.py:565-572) emits
+    that group's members into several output groups, and the sample dies
+    downstream at the one-group-per-endpoint assert (utils.py:602; our
+    detect_shared_edge raises 'endpoint in multiple groups'). Strict
+    mode reproduces that exactly; in recovery mode, merge the connected
+    components of the <0.1 graph instead -- output is identical when
+    every component is a simple pair, and a valid partition otherwise.
+    """
+    centers = np.array([flat[g].mean(0) for g in total_ids])
+    dists = np.linalg.norm(centers[:, None] - centers[None], axis=2)
+    lower = np.tril(np.ones_like(dists, bool), k=-1)
+    rows, cols = np.where((dists < 0.1) & lower)
+    chained = len(rows) and len(set(rows) | set(cols)) < 2 * len(rows)
+    if recovery and chained:
+        parent = list(range(len(total_ids)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r, c in zip(rows, cols):
+            parent[find(int(r))] = find(int(c))
+        comps: Dict[int, List[int]] = {}
+        for i in range(len(total_ids)):
+            comps.setdefault(find(i), []).extend(total_ids[i])
+        if info is not None:
+            info["chained_proximity_merges"] = len(rows)
+        return list(comps.values())
+    updated = [total_ids[r] + total_ids[c] for r, c in zip(rows, cols)]
+    for i, g in enumerate(total_ids):
+        if i not in rows and i not in cols:
+            updated.append(g)
+    return updated
+
+
 def detect_shared_vertex(
     edgeV_cad: np.ndarray,     # [nf, ne, 6] predicted endpoint pairs (scaled x3)
     edge_mask_cad: np.ndarray, # [nf, ne] True = masked
@@ -183,16 +230,7 @@ def detect_shared_vertex(
 
     total_ids = _keep_largest(total_ids)
 
-    # proximity re-merge of group centers (< 0.1, for deep T-junctions)
-    centers = np.array([flat[g].mean(0) for g in total_ids])
-    dists = np.linalg.norm(centers[:, None] - centers[None], axis=2)
-    lower = np.tril(np.ones_like(dists, bool), k=-1)
-    rows, cols = np.where((dists < 0.1) & lower)
-    updated = [total_ids[r] + total_ids[c] for r, c in zip(rows, cols)]
-    for i, g in enumerate(total_ids):
-        if i not in rows and i not in cols:
-            updated.append(g)
-    total_ids = updated
+    total_ids = proximity_remerge(total_ids, flat, recovery, info)
 
     unique_vertices = np.vstack([flat[g].mean(0) / 3.0 for g in total_ids])
     new_vertex_dict = {i: g for i, g in enumerate(total_ids)}

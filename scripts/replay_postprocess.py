@@ -190,7 +190,8 @@ def topology_once(sample, b, recovery, face_drops, allow_singletons):
         e.valid = valid
         raise
     rung = info.get("recovery_rung", 0)
-    if info.get("vertex_rescued_faces", 0):
+    if info.get("vertex_rescued_faces", 0) or info.get(
+            "chained_proximity_merges", 0):
         rung = max(rung, 5)
     return rung, manifold_audit(fea, eva), info
 
@@ -213,7 +214,8 @@ for sample in batches:
                 rung, (solid, why), info = topology_once(
                     sample, b, not args.strict, face_drops, allow_single)
                 for act in ("unified_vertices", "dropped_edges",
-                            "singleton_edges", "vertex_rescued_faces"):
+                            "singleton_edges", "vertex_rescued_faces",
+                            "chained_proximity_merges"):
                     if info.get(act, 0):
                         ladder_actions[act] = (
                             ladder_actions.get(act, 0) + info[act])

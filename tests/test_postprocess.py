@@ -402,3 +402,45 @@ def test_scattered_masks_roundtrip():
     assert len(rec.surf_wcs) == nf
     assert len(rec.edge_wcs) == len(data["edge_wcs"])
     assert len(rec.unique_vertices) == len(data["corner_unique"])
+
+
+def test_chained_proximity_merge():
+    """Three vertex-group centers chained within 0.1 of each other.
+
+    Strict mode reproduces the reference's pairwise update
+    (utils.py:565-572): the middle group's members land in TWO output
+    groups, which kills the sample at the one-group-per-endpoint check
+    (utils.py:602). Recovery mode merges the connected component into
+    one group instead — every endpoint in exactly one group.
+    """
+    from brepgen_tpu.postprocess.vertex_merge import proximity_remerge
+
+    flat = np.array([
+        [0.00, 0, 0], [0.00, 0, 0],   # group A center 0.00
+        [0.08, 0, 0], [0.08, 0, 0],   # group B center 0.08 (close to A, C)
+        [0.16, 0, 0], [0.16, 0, 0],   # group C center 0.16 (close to B only)
+        [9.00, 0, 0],                 # group D far away
+    ])
+    groups = [[0, 1], [2, 3], [4, 5], [6]]
+
+    strict = proximity_remerge([list(g) for g in groups], flat, recovery=False)
+    counts = {}
+    for g in strict:
+        for m in g:
+            counts[m] = counts.get(m, 0) + 1
+    assert max(counts.values()) > 1  # the chain duplicates members (reference behavior)
+
+    info = {}
+    rec = proximity_remerge([list(g) for g in groups], flat, recovery=True,
+                            info=info)
+    members = sorted(m for g in rec for m in g)
+    assert members == list(range(7))  # a partition: each endpoint exactly once
+    assert sorted(map(sorted, rec)) == [[0, 1, 2, 3, 4, 5], [6]]
+    assert info["chained_proximity_merges"] == 2
+
+    # a simple (unchained) pair is bit-identical between the two modes
+    flat2 = np.array([[0.0, 0, 0], [0.05, 0, 0], [9.0, 0, 0]])
+    simple = [[0], [1], [2]]
+    a = proximity_remerge([list(g) for g in simple], flat2, recovery=False)
+    b = proximity_remerge([list(g) for g in simple], flat2, recovery=True)
+    assert sorted(map(sorted, a)) == sorted(map(sorted, b))
